@@ -1,0 +1,73 @@
+"""comparator CLI — flag-compatible with the reference binary
+(reference Comparator.cpp:464-521): -f index fof, -q query fof,
+-p precision, -m min threshold, -o output prefix.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from supersampler_tpu.compare.merge import TpuComparator
+
+USAGE = """Core arguments:
+-f Index file of files (mandatory)
+-q Query file of files ("" for all versus all comparison of the index)
+Ouput arguments:
+-m Minimum value to be output (0.0)
+-p Required precision to be output in the CSV (6)
+-o output prefix (results)
+"""
+
+
+def parse_args(argv):
+    opts = {"f": "", "q": "", "p": 6, "m": 0.0, "o": "results"}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("-") and len(a) == 2 and a[1] in "fqpmo":
+            opts[a[1]] = argv[i + 1]
+            i += 2
+        else:
+            i += 1
+    opts["p"] = int(opts["p"])
+    opts["m"] = float(opts["m"])
+    return opts
+
+
+def main(argv=None) -> int:
+    o = parse_args(sys.argv[1:] if argv is None else argv)
+    if not o["f"]:
+        print(USAGE, end="")
+        return 0
+    if not o["q"]:
+        print("No query file, I will perform a all versus all comparison")
+        comp = TpuComparator(precision=o["p"], min_threshold=o["m"])
+        comp.files_names = TpuComparator.getfilesname(o["f"])
+        print(f"I found {len(comp.files_names)} documents")
+        start = time.time()
+        comp.compare_sketches(len(comp.files_names))
+        print(f"kmers evaluated are of length: {comp.k} "
+              f"minimizer size is {comp.m}")
+        print("Comparisons done")
+        mid = time.time()
+        print(f"Comparisons lasted {mid - start} sec")
+        print("Containement index dump ")
+        print("Jackard index dump")
+        comp.write_outputs(o["o"])
+        print(f"Jaccard output lasted {time.time() - mid} sec")
+    else:
+        comp = TpuComparator(precision=o["p"], min_threshold=o["m"])
+        comp.files_names = TpuComparator.getfilesname(o["q"])
+        query_size = len(comp.files_names)
+        print(f"I query {query_size} file(s) against the bank")
+        comp.files_names += TpuComparator.getfilesname(o["f"])
+        comp.compare_sketches(query_size)
+        print("Containement index dump ")
+        print("Jackard index dump")
+        comp.write_outputs(o["o"])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,128 @@
+"""All-vs-all / N-vs-all sketch comparison over decoded pair sets.
+
+Semantic model (provably equivalent to the reference's streaming N-way
+merge, Comparator.cpp:39-74 + 97-287):
+
+* nb_kmer_seen_infile[f] = |distinct (minimizer, canonical k-mer) pairs
+  of file f| — the per-bucket skip/color maps dedup within a bucket and
+  buckets are unique per file (std::map keys), so summing per-bucket
+  distinct counts equals the global pair-set size.
+* score_A[i,j] = number of distinct pairs present in both i and j,
+  restricted (query mode) to buckets whose minimizer is held by at
+  least one query file (Comparator.cpp:340-351: only `queryfound`
+  buckets run count_intersection; within such buckets ALL co-occurring
+  file pairs are scored, compute_scores Comparator.cpp:269-287).
+
+The sorted-array implementation groups identical pairs across files and
+accumulates pairwise counts; a device matmul path (P^T P over presence
+blocks) lives in parallel/compare_dist.py for multi-chip scaling.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+from supersampler_tpu.compare.reader import decode_sketch_pairs
+from supersampler_tpu.compare.writers import matrix_csv, write_matrix_gz
+
+U64 = np.uint64
+
+
+class TpuComparator:
+    """Drop-in equivalent of the reference Comparator
+    (same outputs as oracle.OracleComparator)."""
+
+    def __init__(self, precision: int = 6, min_threshold: float = 0.0):
+        self.precision = precision
+        self.min_threshold = min_threshold
+        self.files_names: List[str] = []
+        self.score_A: Dict[int, int] = {}
+        self.nb_kmer_seen_infile: List[int] = []
+        self.query_size = 0
+        self.nb_files = 0
+        self.k = 0
+        self.m = 0
+
+    @staticmethod
+    def getfilesname(fof_path: str) -> List[str]:
+        """fof lines with size > 2 (reference Comparator.cpp:7-21)."""
+        from supersampler_tpu.oracle.comparator import OracleComparator
+
+        return OracleComparator.getfilesname(fof_path)
+
+    def compare_sketches(self, query_size: int) -> None:
+        n = len(self.files_names)
+        self.query_size = query_size
+        self.nb_files = n
+        mins_l, his_l, los_l, fids_l = [], [], [], []
+        query_minimizers: Set[int] = set()
+        self.nb_kmer_seen_infile = [0] * n
+        for f, path in enumerate(self.files_names):
+            mins, his, los, k, m, bucket_mins = decode_sketch_pairs(path)
+            # like get_header_info, the last file's header wins
+            self.k, self.m = k, m
+            self.nb_kmer_seen_infile[f] = int(mins.size)
+            mins_l.append(mins)
+            his_l.append(his)
+            los_l.append(los)
+            fids_l.append(np.full(mins.size, f, dtype=np.int64))
+            if f < query_size:
+                query_minimizers |= bucket_mins
+        mins = np.concatenate(mins_l) if mins_l else np.zeros(0, U64)
+        his = np.concatenate(his_l) if his_l else np.zeros(0, U64)
+        los = np.concatenate(los_l) if los_l else np.zeros(0, U64)
+        fids = np.concatenate(fids_l) if fids_l else np.zeros(0, np.int64)
+        if mins.size == 0:
+            return
+
+        # Query-mode bucket filter.
+        if query_size < n:
+            qm = np.array(sorted(query_minimizers), dtype=U64)
+            keep = np.isin(mins, qm)
+            mins, his, los, fids = mins[keep], his[keep], los[keep], fids[keep]
+            if mins.size == 0:
+                return
+
+        order = np.lexsort((fids, los, his, mins))
+        mins, his, los, fids = mins[order], his[order], los[order], fids[order]
+        new_group = np.ones(mins.size, dtype=bool)
+        new_group[1:] = ((mins[1:] != mins[:-1]) | (his[1:] != his[:-1])
+                         | (los[1:] != los[:-1]))
+        gid = np.cumsum(new_group) - 1
+        counts = np.bincount(gid)
+        # only groups with >= 2 files contribute scores
+        big = counts >= 2
+        if not big.any():
+            return
+        sel = big[gid]
+        gid_sel = gid[sel]  # non-decreasing (sort order preserved)
+        fid_sel = fids[sel]  # ascending within each group (lexsort key)
+        _, gstart, gcount = np.unique(gid_sel, return_index=True,
+                                      return_counts=True)
+        pair_keys: Dict[int, int] = self.score_A
+        nbf = n
+        for s, c in zip(gstart, gcount):
+            fs = fid_sel[s : s + c]
+            for a in range(c):
+                base = fs[a] * nbf
+                for b in range(a + 1, c):
+                    key = int(base + fs[b])
+                    pair_keys[key] = pair_keys.get(key, 0) + 1
+
+    # ------------------------------------------------------------------
+    def containment_csv(self) -> str:
+        return matrix_csv(self.files_names, self.score_A,
+                          self.nb_kmer_seen_infile, self.query_size,
+                          self.precision, self.min_threshold, jaccard=False)
+
+    def jaccard_csv(self) -> str:
+        return matrix_csv(self.files_names, self.score_A,
+                          self.nb_kmer_seen_infile, self.query_size,
+                          self.precision, self.min_threshold, jaccard=True)
+
+    def write_outputs(self, output_name: str = "results") -> None:
+        write_matrix_gz(f"{output_name}_containment.csv.gz",
+                        self.containment_csv())
+        write_matrix_gz(f"{output_name}_jaccard.csv.gz", self.jaccard_csv())

@@ -1,0 +1,205 @@
+"""Vectorized sketch decoding: sketch file -> (minimizer, canonical k-mer)
+pair arrays.
+
+Replicates the reference's bucket decode (reference Comparator.cpp:78-92
+inject_minimizer, 97-264 rolling k-mer extraction + canonize) with numpy
+batch operations: 2-bit blob unpack, minimizer re-injection, rolling
+k-mer windows as (hi, lo) uint64 pairs, reverse-complement via the
+reversed-complemented code array.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+from supersampler_tpu.core.scalar import NUC2INT_LUT
+from supersampler_tpu.io.fasta import open_maybe_gzip
+
+U64 = np.uint64
+_0 = U64(0)
+
+
+def blob_to_codes(blob: bytes) -> np.ndarray:
+    """Decode a strCompressor blob to 2-bit codes
+    (inverse of reference utils.cpp:48-68; see core.scalar)."""
+    if not blob:
+        return np.zeros(0, dtype=np.uint8)
+    b = np.frombuffer(blob, dtype=np.uint8)
+    mod = int(b[0])
+    last = len(b) if mod == 0 else len(b) - 1
+    full = b[1:last]
+    out = np.empty(full.size * 4 + mod, dtype=np.uint8)
+    out[0 : full.size * 4 : 4] = (full >> 6) & 3
+    out[1 : full.size * 4 : 4] = (full >> 4) & 3
+    out[2 : full.size * 4 : 4] = (full >> 2) & 3
+    out[3 : full.size * 4 : 4] = full & 3
+    if mod:
+        v = int(b[last])
+        for j in range(mod):
+            out[full.size * 4 + j] = (v >> (2 * (mod - j))) & 3
+    return out
+
+
+def rolling_kmers_u128(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """All k-mer windows of each row of ``codes`` (2D: n x S) as
+    (hi, lo) uint64 arrays of shape (n, S-k+1). Rolling update with mask,
+    matching updateK (reference utils.cpp:752-757)."""
+    n, S = codes.shape
+    nw = S - k + 1
+    hi = np.zeros(n, dtype=U64)
+    lo = np.zeros(n, dtype=U64)
+    out_hi = np.empty((n, nw), dtype=U64)
+    out_lo = np.empty((n, nw), dtype=U64)
+    if k > 32:
+        hi_mask = U64((1 << (2 * k - 64)) - 1)
+    c62 = U64(62)
+    c2 = U64(2)
+    for t in range(S):
+        c = codes[:, t].astype(U64)
+        hi = ((hi << c2) | (lo >> c62))
+        lo = (lo << c2) | c
+        if k > 32:
+            hi &= hi_mask
+        else:
+            hi[:] = _0
+            lo &= U64((1 << (2 * k)) - 1) if k < 32 else U64(0xFFFFFFFFFFFFFFFF)
+        if t >= k - 1:
+            out_hi[:, t - k + 1] = hi
+            out_lo[:, t - k + 1] = lo
+    return out_hi, out_lo
+
+
+def canonical_kmers(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Canonical (min of fwd/rc) k-mers for every window of each row."""
+    fwd_hi, fwd_lo = rolling_kmers_u128(codes, k)
+    rc_codes = (codes[:, ::-1] ^ 2).astype(np.uint8)
+    rch, rcl = rolling_kmers_u128(rc_codes, k)
+    # rc of fwd window t is rc window S-k-t: reverse the window axis.
+    rc_hi = rch[:, ::-1]
+    rc_lo = rcl[:, ::-1]
+    take_rc = (rc_hi < fwd_hi) | ((rc_hi == fwd_hi) & (rc_lo < fwd_lo))
+    hi = np.where(take_rc, rc_hi, fwd_hi)
+    lo = np.where(take_rc, rc_lo, fwd_lo)
+    return hi, lo
+
+
+class SketchFile:
+    """Parsed sketch: header + per-bucket raw payloads."""
+
+    def __init__(self, path: str):
+        with open_maybe_gzip(path) as f:
+            self.data = f.read()
+        nl = self.data.index(b"\n")
+        parts = self.data[:nl].split(b" ")
+        self.skmer_size_hdr = int(parts[0])
+        self.m = int(parts[1])
+        self.nb_kmer_tot = int(parts[2])
+        self.sub_rate = int(float(parts[3]))
+        self.k = (self.skmer_size_hdr + self.m) // 2
+        self.pos0 = nl + 1
+
+    def iter_buckets(self) -> Iterator[Tuple[int, bytes, List[bytes]]]:
+        """Yield (minimizer_value, blob_bytes, plaintext_lines) per bucket
+        in file order (ascending minimizer)."""
+        data, m = self.data, self.m
+        pos = self.pos0
+        n = len(data)
+        while pos + m <= n:
+            minstr = data[pos : pos + m]
+            pos += m
+            (size,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            blob = data[pos : pos + size]
+            pos += size
+            lines: List[bytes] = []
+            while True:
+                nl1 = data.index(b"\n", pos)
+                l1 = data[pos:nl1]
+                pos = nl1 + 1
+                nl2 = data.index(b"\n", pos)
+                l2 = data[pos:nl2]
+                pos = nl2 + 1
+                if not l1 and not l2:
+                    break
+                lines.append(l1)
+                lines.append(l2)
+            mcodes = NUC2INT_LUT[np.frombuffer(minstr, dtype=np.uint8)]
+            mval = 0
+            for c in mcodes:
+                mval = (mval << 2) | int(c)
+            yield mval, blob, lines
+
+
+def decode_sketch_pairs(path: str):
+    """Decode a sketch to distinct (minimizer, kmer_hi, kmer_lo) arrays.
+
+    Returns (mins u64[], hi u64[], lo u64[], k, m, minimizer_set) where
+    arrays are deduplicated per (minimizer, kmer) as the reference's
+    per-bucket color/skip maps do (Comparator.cpp:97-264).
+    """
+    sk = SketchFile(path)
+    k, m = sk.k, sk.m
+    half = k - m
+    mins_l: List[np.ndarray] = []
+    his_l: List[np.ndarray] = []
+    los_l: List[np.ndarray] = []
+    bucket_minimizers: List[int] = []
+    for mval, blob, lines in sk.iter_buckets():
+        bucket_minimizers.append(mval)
+        mcodes = np.empty(m, dtype=np.uint8)
+        v = mval
+        for j in range(m - 1, -1, -1):
+            mcodes[j] = v & 3
+            v >>= 2
+        row_his: List[np.ndarray] = []
+        row_los: List[np.ndarray] = []
+        codes = blob_to_codes(blob)
+        n_sk = codes.size // (2 * half) if half > 0 else 0
+        if n_sk > 0:
+            halves = codes[: n_sk * 2 * half].reshape(n_sk, 2 * half)
+            full = np.concatenate(
+                [halves[:, :half],
+                 np.broadcast_to(mcodes, (n_sk, m)),
+                 halves[:, half:]], axis=1)
+            hi, lo = canonical_kmers(full, k)
+            row_his.append(hi.ravel())
+            row_los.append(lo.ravel())
+        # plaintext super-k-mers, grouped by length for batching
+        by_len = {}
+        for i in range(0, len(lines), 2):
+            left = NUC2INT_LUT[np.frombuffer(lines[i], dtype=np.uint8)]
+            right = NUC2INT_LUT[np.frombuffer(lines[i + 1], dtype=np.uint8)]
+            seq = np.concatenate([left, mcodes, right])
+            by_len.setdefault(seq.size, []).append(seq)
+        for size, seqs in by_len.items():
+            if size < k:
+                continue
+            arr = np.stack(seqs)
+            hi, lo = canonical_kmers(arr, k)
+            row_his.append(hi.ravel())
+            row_los.append(lo.ravel())
+        if not row_his:
+            continue
+        hi = np.concatenate(row_his)
+        lo = np.concatenate(row_los)
+        # dedup within the bucket
+        order = np.lexsort((lo, hi))
+        hi, lo = hi[order], lo[order]
+        keep = np.ones(hi.size, dtype=bool)
+        keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        hi, lo = hi[keep], lo[keep]
+        mins_l.append(np.full(hi.size, mval, dtype=U64))
+        his_l.append(hi)
+        los_l.append(lo)
+    if mins_l:
+        mins = np.concatenate(mins_l)
+        his = np.concatenate(his_l)
+        los = np.concatenate(los_l)
+    else:
+        mins = np.zeros(0, dtype=U64)
+        his = np.zeros(0, dtype=U64)
+        los = np.zeros(0, dtype=U64)
+    return mins, his, los, k, m, set(bucket_minimizers)

@@ -154,10 +154,10 @@ def _succ_table(h: U.U64, p: jnp.ndarray, j: jnp.ndarray,
     return best_pos, best_adopt
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def device_scan(codes: jnp.ndarray, k: int, m: int, padded_len: int,
+def scan_tables(codes: jnp.ndarray, k: int, m: int, padded_len: int,
                 length: jnp.ndarray, threshold: U.U64) -> ScanTables:
-    """Full vectorized scan of one 2-bit-coded sequence.
+    """Full vectorized scan of one 2-bit-coded sequence (pure function;
+    vmap/shard_map-safe — see parallel/mesh.py for the batched form).
 
     codes: uint8 array of size padded_len (>= length + small margin).
     length: actual sequence length (int32 scalar).
@@ -251,6 +251,9 @@ def device_scan(codes: jnp.ndarray, k: int, m: int, padded_len: int,
         init_val=em[0], init_rev=er[0], init_sel=U.le(
             U.U64(eh.hi[0:1], eh.lo[0:1]), threshold)[0],
     )
+
+
+device_scan = jax.jit(scan_tables, static_argnums=(1, 2, 3))
 
 
 def walk_chain_host(t: ScanTables):

@@ -12,7 +12,6 @@ from typing import Dict, List, Optional, Tuple
 
 from supersampler_tpu.core.scalar import (
     canonize,
-    format_g6,
     num2str,
     str2num,
     str_decompressor,
@@ -238,38 +237,16 @@ class OracleComparator:
                 cursors[ind].read_minimizer(self.m)
 
     # ------------------------------------------------------------------
-    def _matrix_csv(self, jaccard: bool) -> str:
-        """CSV text (uncompressed) exactly matching Comparator.cpp:362-460."""
-        n = self.nb_files
-        rows = [",".join(self.files_names)]
-        if not jaccard:
-            rows.append("")  # blank line after containment header
-        for i in range(min(n, self.query_size)):
-            cells = []
-            for j in range(n):
-                if i == j:
-                    cells.append("1")
-                    continue
-                key = i * n + j if i < j else j * n + i
-                inter = self.score_A.get(key)
-                if inter is None:
-                    cells.append("0")
-                    continue
-                if jaccard:
-                    denom = (self.nb_kmer_seen_infile[i]
-                             + self.nb_kmer_seen_infile[j] - inter)
-                else:
-                    denom = self.nb_kmer_seen_infile[i]
-                score = inter / denom
-                if score < self.min_threshold:
-                    cells.append("0")
-                else:
-                    cells.append(format_g6(score, self.precision))
-            rows.append(",".join(cells))
-        return "\n".join(rows) + "\n"
-
     def containment_csv(self) -> str:
-        return self._matrix_csv(jaccard=False)
+        from supersampler_tpu.compare.writers import matrix_csv
+
+        return matrix_csv(self.files_names, self.score_A,
+                          self.nb_kmer_seen_infile, self.query_size,
+                          self.precision, self.min_threshold, jaccard=False)
 
     def jaccard_csv(self) -> str:
-        return self._matrix_csv(jaccard=True)
+        from supersampler_tpu.compare.writers import matrix_csv
+
+        return matrix_csv(self.files_names, self.score_A,
+                          self.nb_kmer_seen_infile, self.query_size,
+                          self.precision, self.min_threshold, jaccard=True)

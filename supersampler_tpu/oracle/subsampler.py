@@ -322,9 +322,18 @@ class OracleSubsampler:
         return bytes(out)
 
     # ------------------------------------------------------------------
-    def sketch_file(self, input_path: str) -> bytes:
-        """Full pipeline for one FASTA -> uncompressed sketch bytes."""
+    def sketch_file(self, input_path: str) -> Optional[bytes]:
+        """Full pipeline for one FASTA -> uncompressed sketch bytes.
+
+        Unreadable input prints the reference's messages and returns
+        None (reference utils.cpp:357-364, SubSampler.cpp:311-321)."""
+        import os
+
         k = self.k
+        if not os.path.exists(input_path):
+            print("Problem with file opening")
+            print(f"Can't open file: {input_path}")
+            return None
         for ref_bytes in iter_fasta_records(input_path):
             ref = ref_bytes.decode()
             if len(ref) < k:

@@ -85,7 +85,8 @@ def main():
               f"{len(quirk_bytes)} garbage bytes in reference output")
 
     # Comparator goldens: sketch the family with the reference, then
-    # compare all-vs-all and query-mode.
+    # compare all-vs-all and query-mode. fofs use basenames with
+    # cwd=work so the golden CSVs are byte-stable (no temp paths).
     fam_sketches = []
     for i in range(4):
         prefix = "gfam_"
@@ -94,44 +95,46 @@ def main():
              "-s", "15", "-p", prefix], cwd=work, check=True,
             capture_output=True)
         gz = os.path.join(work, f"gfam_fam{i}.gz")
-        dest = os.path.join(GOLD, f"fam{i}.sketch.gz")
+        dest = os.path.join(GOLD, f"gfam_fam{i}.gz")
         shutil.copy(gz, dest)
-        fam_sketches.append(gz)
+        fam_sketches.append(f"gfam_fam{i}.gz")
     fof = os.path.join(work, "fof.txt")
     with open(fof, "w") as f:
         f.write("\n".join(fam_sketches) + "\n")
-    subprocess.run([os.path.join(REFBIN, "comparator"), "-f", fof],
+    subprocess.run([os.path.join(REFBIN, "comparator"), "-f", "fof.txt"],
                    cwd=work, check=True, capture_output=True)
     for kind in ("containment", "jaccard"):
-        txt = gzip.open(os.path.join(work, f"results_{kind}.csv.gz"),
-                        "rb").read()
-        # Golden CSVs reference sketch basenames, not temp paths.
-        txt = txt.replace(work.encode() + b"/", b"")
-        with gzip.open(os.path.join(GOLD, f"allvsall_{kind}.csv.gz"),
-                       "wb") as f:
-            f.write(txt)
-    qfof = os.path.join(work, "qfof.txt")
-    bfof = os.path.join(work, "bfof.txt")
-    with open(qfof, "w") as f:
+        shutil.copy(os.path.join(work, f"results_{kind}.csv.gz"),
+                    os.path.join(GOLD, f"allvsall_{kind}.csv.gz"))
+    with open(os.path.join(work, "qfof.txt"), "w") as f:
         f.write("\n".join(fam_sketches[:2]) + "\n")
-    with open(bfof, "w") as f:
+    with open(os.path.join(work, "bfof.txt"), "w") as f:
         f.write("\n".join(fam_sketches[2:]) + "\n")
     subprocess.run(
-        [os.path.join(REFBIN, "comparator"), "-f", bfof, "-q", qfof,
-         "-p", "3", "-m", "0.05", "-o", "qres"],
+        [os.path.join(REFBIN, "comparator"), "-f", "bfof.txt", "-q",
+         "qfof.txt", "-p", "3", "-m", "0.05", "-o", "qres"],
         cwd=work, check=True, capture_output=True)
     for kind in ("containment", "jaccard"):
-        txt = gzip.open(os.path.join(work, f"qres_{kind}.csv.gz"), "rb").read()
-        txt = txt.replace(work.encode() + b"/", b"")
-        with gzip.open(os.path.join(GOLD, f"query_{kind}.csv.gz"), "wb") as f:
-            f.write(txt)
+        shutil.copy(os.path.join(work, f"qres_{kind}.csv.gz"),
+                    os.path.join(GOLD, f"query_{kind}.csv.gz"))
     meta["compare"] = {
         "s": "15", "k": 31, "m": 11,
-        "files": [f"fam{i}.sketch.gz" for i in range(4)],
-        "query_files": [f"fam{i}.sketch.gz" for i in range(2)],
-        "bank_files": [f"fam{i}.sketch.gz" for i in range(2, 4)],
+        "files": fam_sketches,
+        "query_files": fam_sketches[:2],
+        "bank_files": fam_sketches[2:],
         "query_precision": 3, "query_min_threshold": 0.05,
     }
+
+    # CLI goldens: full stdout + compressed output bytes of a reference
+    # sub_sampler run (no timing lines, so fully reproducible).
+    r = subprocess.run(
+        [os.path.join(REFBIN, "sub_sampler"), "-i", paths["simple"],
+         "-s", "10", "-p", "cli_"], cwd=work, check=True,
+        capture_output=True)
+    with open(os.path.join(GOLD, "cli_sub_sampler_stdout.txt"), "wb") as f:
+        f.write(r.stdout)
+    shutil.copy(os.path.join(work, "cli_simple.gz"),
+                os.path.join(GOLD, "cli_simple.gz"))
 
     with open(os.path.join(GOLD, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)

@@ -1,0 +1,61 @@
+"""Auxiliary components: decycling set, eval harness, gzip container."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from supersampler_tpu.core.decycling import DecyclingSet, mem_double_vec
+from supersampler_tpu.io.gzip_exact import gzip_compress_exact
+
+
+# Values from the reference DecyclingSet (Decycling.cpp) evaluated for
+# m=11 on a few m-mers via a probe build.
+def test_decycling_consistency():
+    d = DecyclingSet(11)
+    seqs = np.arange(0, 4 ** 6, 7, dtype=np.uint64)
+    vec = mem_double_vec(seqs, 11)
+    for s, v in zip(seqs[:200], vec[:200]):
+        assert d.mem_double(int(s)) == int(v)
+        if v == 2:
+            assert d.mem(int(s))
+
+
+def test_decycling_density():
+    # The decycling set hits ~1/k of all k-mers (Mykkeltveit bound).
+    k = 7
+    seqs = np.arange(4 ** k, dtype=np.uint64)
+    cls = mem_double_vec(seqs, k)
+    frac = np.mean(cls == 2)
+    assert 0.5 / k < frac < 2.0 / k
+
+
+def test_gzip_exact_roundtrip():
+    data = b"ACGT" * 1000
+    for level in (1, 9):
+        gz = gzip_compress_exact(data, level)
+        assert gzip.decompress(gz) == data
+        assert gz[9] == 3  # OS byte = Unix, as zlib writes
+
+
+def test_eval_error_csv(tmp_path):
+    import pandas as pd
+
+    from supersampler_tpu.eval import stats
+
+    simka = tmp_path / "simka.csv"
+    pd.DataFrame({"name": ["a", "b"], "a": [0.0, 0.4], "b": [0.4, 0.0]}
+                 ).to_csv(simka, sep=";", index=False)
+    m1 = tmp_path / "spsp_1000_res.csv"
+    pd.DataFrame({"a": [1.0, 0.5], "b": [0.5, 1.0]}).to_csv(m1, index=False)
+    fof = tmp_path / "fof.txt"
+    fof.write_text(str(m1) + "\n")
+    out = tmp_path / "out.csv"
+    stats.get_error(str(fof), str(simka), str(out))
+    lines = out.read_text().strip().split("\n")
+    assert lines[0] == "value,type,threshold,error,tool"
+    val, typ, key, z, tool = lines[1].split(",")
+    # mean(simka_sim)=mean(1-d)=0.8? simka read: 1-x on numeric cols
+    assert typ == "error" and key == "1000" and tool == "SuperSampler_decycling"
+    assert abs(float(val) - abs(0.8 - 0.75)) < 1e-12

@@ -30,50 +30,42 @@ def test_sketch_goldens(datadir, goldendir):
         assert mine == golden, f"sketch mismatch for {cfg}"
 
 
-def test_allvsall_goldens(goldendir):
+@pytest.fixture()
+def golden_cwd(goldendir, tmp_path, monkeypatch):
+    """chdir into a tmpdir with the golden sketches symlinked under
+    their original basenames, so CSV file-name columns match."""
     meta = load_meta(goldendir)
-    cfg = meta["compare"]
+    for f in meta["compare"]["files"]:
+        os.symlink(os.path.join(goldendir, f), tmp_path / f)
+    monkeypatch.chdir(tmp_path)
+    return meta["compare"]
+
+
+def test_allvsall_goldens(goldendir, golden_cwd):
+    cfg = golden_cwd
     comp = OracleComparator(precision=6, min_threshold=0.0)
-    comp.files_names = [os.path.join(goldendir, f) for f in cfg["files"]]
+    comp.files_names = list(cfg["files"])
     comp.compare_sketches(len(comp.files_names))
-    # Goldens store basenames; ours are absolute paths.
-    def normalize(txt):
-        return txt.replace(goldendir + "/", "")
-    ref_cont = gzip.open(
-        os.path.join(goldendir, "allvsall_containment.csv.gz"), "rb"
-    ).read().decode()
-    ref_jac = gzip.open(
-        os.path.join(goldendir, "allvsall_jaccard.csv.gz"), "rb"
-    ).read().decode()
-    # Reference goldens use the sketch filenames the reference wrote
-    # (gfam_famN.gz); map ours to that naming for comparison.
-    mine_cont = comp.containment_csv().replace(
-        goldendir + "/", "").replace("fam", "gfam_fam").replace(
-        ".sketch.gz", ".gz")
-    mine_jac = comp.jaccard_csv().replace(
-        goldendir + "/", "").replace("fam", "gfam_fam").replace(
-        ".sketch.gz", ".gz")
-    assert mine_cont == ref_cont
-    assert mine_jac == ref_jac
+    for kind, fn in [("containment", comp.containment_csv),
+                     ("jaccard", comp.jaccard_csv)]:
+        ref = gzip.open(
+            os.path.join(goldendir, f"allvsall_{kind}.csv.gz"), "rb"
+        ).read().decode()
+        assert fn() == ref, kind
 
 
-def test_query_goldens(goldendir):
-    meta = load_meta(goldendir)
-    cfg = meta["compare"]
+def test_query_goldens(goldendir, golden_cwd):
+    cfg = golden_cwd
     comp = OracleComparator(
         precision=cfg["query_precision"],
         min_threshold=cfg["query_min_threshold"])
-    comp.files_names = [os.path.join(goldendir, f)
-                        for f in cfg["query_files"]]
+    comp.files_names = list(cfg["query_files"])
     qs = len(comp.files_names)
-    comp.files_names += [os.path.join(goldendir, f)
-                         for f in cfg["bank_files"]]
+    comp.files_names += list(cfg["bank_files"])
     comp.compare_sketches(qs)
     for kind, fn in [("containment", comp.containment_csv),
                      ("jaccard", comp.jaccard_csv)]:
         ref = gzip.open(
             os.path.join(goldendir, f"query_{kind}.csv.gz"), "rb"
         ).read().decode()
-        mine = fn().replace(goldendir + "/", "").replace(
-            "fam", "gfam_fam").replace(".sketch.gz", ".gz")
-        assert mine == ref, kind
+        assert fn() == ref, kind
