@@ -32,18 +32,21 @@ def main():
 
     from supersampler_tpu.core.scalar import compute_threshold
     from supersampler_tpu.ops import u64 as U
-    from supersampler_tpu.ops.minimizer import scan_tables, walk_chain_host
-    from supersampler_tpu.parallel.mesh import batched_scan_fn
+    from supersampler_tpu.ops.minimizer import scan_tables_2d, walk_chain_host
 
     thr = compute_threshold(K, M, S)
     rng = np.random.default_rng(1312)
+    usable = PAD - 256
     codes = jnp.asarray(
         rng.integers(0, 4, size=(BATCH, PAD), dtype=np.uint8))
-    lengths = jnp.full((BATCH,), PAD, jnp.int32)
+    lengths = jnp.full((BATCH,), usable, jnp.int32)
     t_hi = jnp.uint32(thr >> 32)
     t_lo = jnp.uint32(thr & 0xFFFFFFFF)
 
-    fn = jax.jit(batched_scan_fn(K, M, PAD))
+    def one(c, l, hi, lo):
+        return scan_tables_2d(c, K, M, PAD, l, U.U64(hi, lo))
+
+    fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None, None)))
     # compile + warmup
     for _ in range(WARMUP):
         out = fn(codes, lengths, t_hi, t_lo)
@@ -53,24 +56,31 @@ def main():
         out = fn(codes, lengths, t_hi, t_lo)
         jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / ITERS
-    mbases = BATCH * PAD / 1e6
+    mbases = BATCH * usable / 1e6
     device_mbps = mbases / dt
 
-    # End-to-end (device scan + host chain walk + assembly bookkeeping)
-    # measured once on a single tile for honesty about host overheads.
-    from supersampler_tpu.sketch.pipeline import TpuSubsampler
+    # End-to-end: full sketch of a synthetic genome through the public
+    # pipeline (device scan + native chain walk + host assembly +
+    # serialization), honest about every host overhead.
+    from supersampler_tpu.sketch.pipeline import TpuSubsampler, padded_size
 
-    seq_codes = np.asarray(codes[0])
-    one = jax.jit(
-        lambda c, l: scan_tables(c, K, M, PAD, l, U.U64(t_hi, t_lo)))
-    tables = one(codes[0], jnp.int32(PAD))
-    jax.block_until_ready(tables)
+    genome_len = PAD - 512  # pads to the already-compiled tile size
+    seq = "".join("ACGT"[c] for c in np.asarray(codes[0])[:genome_len])
+    import os
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as f:
+        f.write(">bench\n")
+        f.write(seq)
+        fa_path = f.name
+    ss = TpuSubsampler(k=K, m=M, s=S)
+    ss.sketch_file(fa_path)  # warmup (compile for this padded size)
+    ss = TpuSubsampler(k=K, m=M, s=S)
     t0 = time.perf_counter()
-    tables = one(codes[0], jnp.int32(PAD))
-    jax.block_until_ready(tables)
-    walk_chain_host(tables)
+    ss.sketch_file(fa_path)
     e2e_dt = time.perf_counter() - t0
-    e2e_mbps = PAD / 1e6 / e2e_dt
+    e2e_mbps = genome_len / 1e6 / e2e_dt
+    os.unlink(fa_path)
 
     result = {
         "metric": "sketch_throughput",

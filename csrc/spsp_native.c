@@ -56,6 +56,33 @@ void spsp_encode2bit(const unsigned char* in, unsigned char* out, size_t n) {
     for (size_t i = 0; i < n; ++i) out[i] = (in[i] / 2) & 3;
 }
 
+/* Event-chain walker: follow successor links from the initial state
+ * (see supersampler_tpu/ops/minimizer.py). Types: 0 = adoption,
+ * 1 = rescan. Returns the number of events written. */
+int64_t spsp_walk_chain(const int32_t* nxt_pos_a,
+                        const unsigned char* nxt_adopt_a,
+                        const int32_t* nxt_pos_r,
+                        const unsigned char* nxt_adopt_r,
+                        int32_t init_pos, unsigned char init_adopt,
+                        int32_t* out_pos, unsigned char* out_type,
+                        int64_t max_out) {
+    int64_t n = 0;
+    int32_t p = init_pos;
+    unsigned char ty = init_adopt ? 0 : 1;
+    while (p >= 0 && n < max_out) {
+        out_pos[n] = p;
+        out_type[n] = ty;
+        n++;
+        int32_t np;
+        unsigned char na;
+        if (ty == 0) { np = nxt_pos_a[p]; na = nxt_adopt_a[p]; }
+        else         { np = nxt_pos_r[p]; na = nxt_adopt_r[p]; }
+        p = np;
+        ty = na ? 0 : 1;
+    }
+    return n;
+}
+
 /* clean_dna compaction: keep ACGTacgt, uppercase, return new length
  * (reference utils.cpp:675-702). */
 size_t spsp_clean_dna(const unsigned char* in, unsigned char* out, size_t n) {

@@ -25,13 +25,21 @@ def open_maybe_gzip(path: str) -> io.BufferedReader:
     return f
 
 
-_KEEP = set(b"ACGTacgt")
+import numpy as np
+
+_KEEP_LUT = np.zeros(256, dtype=bool)
+for _c in b"ACGTacgt":
+    _KEEP_LUT[_c] = True
+_UPPER_LUT = np.arange(256, dtype=np.uint8)
+for _c in b"acgt":
+    _UPPER_LUT[_c] = _c - 32
 
 
 def clean_dna(s: bytes) -> bytes:
     """Strip non-ACGT and uppercase (reference utils.cpp:675-702)."""
-    kept = bytes(c for c in s if c in _KEEP)
-    return kept.upper()
+    arr = np.frombuffer(s, dtype=np.uint8)
+    kept = arr[_KEEP_LUT[arr]]
+    return _UPPER_LUT[kept].tobytes()
 
 
 def iter_fasta_records(path: str) -> Iterator[bytes]:

@@ -59,8 +59,37 @@ def get_lib():
             ctypes.c_uint64, ctypes.c_uint64, ctypes.c_double]
         lib.spsp_xxh64_u64.restype = ctypes.c_uint64
         lib.spsp_xxh64_u64.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
+        lib.spsp_walk_chain.restype = ctypes.c_int64
+        lib.spsp_walk_chain.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_uint8,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         return _lib
+
+
+def walk_chain_native(nxt_pos_a, nxt_adopt_a, nxt_pos_r, nxt_adopt_r,
+                      init_pos: int, init_adopt: bool):
+    """Fast event-chain walk over numpy successor tables.
+
+    Returns (positions int32[], types uint8[]) or None if the native
+    library is unavailable. Arrays must be C-contiguous int32/uint8.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = nxt_pos_a.shape[0]
+    max_out = n + 1
+    out_pos = np.empty(max_out, dtype=np.int32)
+    out_type = np.empty(max_out, dtype=np.uint8)
+    cnt = lib.spsp_walk_chain(
+        nxt_pos_a.ctypes.data, nxt_adopt_a.ctypes.data,
+        nxt_pos_r.ctypes.data, nxt_adopt_r.ctypes.data,
+        int(init_pos), 1 if init_adopt else 0,
+        out_pos.ctypes.data, out_type.ctypes.data, max_out)
+    return out_pos[:cnt], out_type[:cnt]
 
 
 def threshold_native(k: int, m: int, s: float):

@@ -16,36 +16,41 @@ import jax.numpy as jnp
 from supersampler_tpu.core.scalar import PRIME1, PRIME2, PRIME3, PRIME4, PRIME5, SEED
 from supersampler_tpu.ops import u64 as U
 
-_P1 = U.from_scalar(PRIME1)
-_P2 = U.from_scalar(PRIME2)
-_P3 = U.from_scalar(PRIME3)
-# seed + Prime5 + 8, the starting state for all 8-byte hashes.
-_H0 = U.from_scalar((SEED + PRIME5 + 8) & ((1 << 64) - 1))
-_P4 = U.from_scalar(PRIME4)
+_H0_INT = (SEED + PRIME5 + 8) & ((1 << 64) - 1)
 
 
-def _finalize(h: U.U64) -> U.U64:
+def _consts():
+    """Constants built per trace so Pallas kernels don't capture
+    module-level arrays."""
+    return (U.from_scalar(PRIME1), U.from_scalar(PRIME2),
+            U.from_scalar(PRIME3), U.from_scalar(PRIME4),
+            U.from_scalar(_H0_INT))
+
+
+def _finalize(h: U.U64, p2: U.U64, p3: U.U64) -> U.U64:
     h = U.xor(h, U.shr(h, 33))
-    h = U.mul(h, _P2)
+    h = U.mul(h, p2)
     h = U.xor(h, U.shr(h, 29))
-    h = U.mul(h, _P3)
+    h = U.mul(h, p3)
     h = U.xor(h, U.shr(h, 32))
     return h
 
 
 def xxh64_u64(x: U.U64) -> U.U64:
     """Hash of a general 64-bit value (as uint32 pair arrays)."""
-    single = U.mul(U.rotl(U.mul(x, _P2), 31), _P1)
-    h0 = U.U64(jnp.broadcast_to(_H0.hi, single.hi.shape).astype(jnp.uint32),
-               jnp.broadcast_to(_H0.lo, single.lo.shape).astype(jnp.uint32))
-    h = U.add(U.mul(U.rotl(U.xor(h0, single), 27), _P1), _P4)
-    return _finalize(h)
+    p1, p2, p3, p4, h0c = _consts()
+    single = U.mul(U.rotl(U.mul(x, p2), 31), p1)
+    h0 = U.U64(jnp.broadcast_to(h0c.hi, single.hi.shape).astype(jnp.uint32),
+               jnp.broadcast_to(h0c.lo, single.lo.shape).astype(jnp.uint32))
+    h = U.add(U.mul(U.rotl(U.xor(h0, single), 27), p1), p4)
+    return _finalize(h, p2, p3)
 
 
 def xxh64_u32(x: jnp.ndarray) -> U.U64:
     """Fast path: hash of a value known to fit 32 bits (minimizers)."""
-    single = U.mul(U.rotl(U.mul_u32(x, _P2), 31), _P1)
-    h0 = U.U64(jnp.broadcast_to(_H0.hi, single.hi.shape).astype(jnp.uint32),
-               jnp.broadcast_to(_H0.lo, single.lo.shape).astype(jnp.uint32))
-    h = U.add(U.mul(U.rotl(U.xor(h0, single), 27), _P1), _P4)
-    return _finalize(h)
+    p1, p2, p3, p4, h0c = _consts()
+    single = U.mul(U.rotl(U.mul_u32(x, p2), 31), p1)
+    h0 = U.U64(jnp.broadcast_to(h0c.hi, single.hi.shape).astype(jnp.uint32),
+               jnp.broadcast_to(h0c.lo, single.lo.shape).astype(jnp.uint32))
+    h = U.add(U.mul(U.rotl(U.xor(h0, single), 27), p1), p4)
+    return _finalize(h, p2, p3)

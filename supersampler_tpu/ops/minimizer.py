@@ -256,35 +256,232 @@ def scan_tables(codes: jnp.ndarray, k: int, m: int, padded_len: int,
 device_scan = jax.jit(scan_tables, static_argnums=(1, 2, 3))
 
 
-def walk_chain_host(t: ScanTables):
-    """Follow successor links from the initial state (host numpy walker).
+# ----------------------------------------------------------------------
+# 2D-tiled variant: positions laid out as (R, C) rows with a halo of
+# lookahead columns so every per-position op runs on (8,128)-tileable
+# arrays (a flat 1D layout leaves TPU VPU sublanes idle). shift2d(a, d)
+# equals the flat array shifted by d positions.
+# ----------------------------------------------------------------------
 
-    Returns (event_positions int64[], event_types int8[] (0=A,1=R),
-    values uint32[], revs bool[], sels bool[]) for the full event chain,
-    plus the initial payload (val, rev, sel).
+def scan_tables_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
+                   length: jnp.ndarray, threshold: U.U64,
+                   cols: int = 512) -> ScanTables:
+    """2D-tiled scan, bit-identical to scan_tables.
+
+    Positions are laid out as (R, cols) rows with halo = k + (k-m+1)
+    extra lookahead columns copied from the next row; every shifted
+    read is then a static 2D column slice (a zero-copy view inside XLA
+    fusions), and all math runs on (8,128)-tileable arrays.
+
+    codes: uint8 of size padded_len; padded_len must be a multiple of
+    ``cols`` and at least length + halo + 1.
     """
-    nxt_pos = [np.asarray(t.nxt_pos_a), np.asarray(t.nxt_pos_r)]
-    nxt_ad = [np.asarray(t.nxt_adopt_a), np.asarray(t.nxt_adopt_r)]
-    vals = [np.asarray(t.val_a), np.asarray(t.val_r)]
-    revs = [np.asarray(t.rev_a), np.asarray(t.rev_r)]
-    sels = [np.asarray(t.sel_a), np.asarray(t.sel_r)]
+    P = padded_len
+    C = cols
+    W = k - m + 1
+    halo = k + W
+    assert C > halo, (C, halo)
+    assert P % C == 0
+    R = P // C
+    n_loop = P - k
 
-    pos_list, type_list = [], []
-    p = int(t.init_nxt_pos)
-    ty = 0 if bool(t.init_nxt_adopt) else 1
-    while p >= 0:
-        pos_list.append(p)
-        type_list.append(ty)
-        np_ = int(nxt_pos[ty][p])
-        na = bool(nxt_ad[ty][p])
-        p, ty = np_, 0 if na else 1
-    pos = np.array(pos_list, dtype=np.int64)
-    typ = np.array(type_list, dtype=np.int8)
-    val = np.array([vals[t_][p_] for p_, t_ in zip(pos_list, type_list)],
-                   dtype=np.uint32)
-    rev = np.array([revs[t_][p_] for p_, t_ in zip(pos_list, type_list)],
-                   dtype=bool)
-    sel = np.array([sels[t_][p_] for p_, t_ in zip(pos_list, type_list)],
-                   dtype=bool)
+    base = codes.reshape(R, C)
+    c2 = jnp.concatenate(
+        [base, jnp.roll(base, -1, axis=0)[:, :halo]],
+        axis=1).astype(jnp.uint32)
+
+    (na_pos, na_adopt, nr_pos, nr_adopt, c_ent, r_ent, sel_a, em_r, er_r,
+     sel_r, em_full, ep_full, er_full, eh_full, h_ent0) = _block_tables(
+        c2, 0, length, threshold, k, m, C, halo)
+
+    def flat(a):
+        return a.reshape(-1)[:n_loop]
+
+    last_i = (length - k - 1).astype(_I32)
+
+    # initial state: election of window 0 (scalar succ scan)
+    em0 = em_full[0, 0]
+    ep0 = ep_full[0, 0]
+    er0 = er_full[0, 0]
+    eh0 = U.U64(eh_full.hi[0:1, 0], eh_full.lo[0:1, 0])
+    h_ent_flat = U.U64(h_ent0.hi[0], h_ent0.lo[0])  # first row, cols 0..W
+    init_pos = jnp.full((1,), -1, _I32)
+    init_adopt = jnp.zeros((1,), bool)
+    init_found = jnp.zeros((1,), bool)
+    p0 = ep0[None]
+    for w in range(1, W + 1):
+        i = jnp.full((1,), w - 1, _I32)
+        hi = U.U64(h_ent_flat.hi[w - 1 : w], h_ent_flat.lo[w - 1 : w])
+        ltv = U.lt(hi, eh0)
+        adopt = (i <= p0) & ltv & (i <= last_i)
+        rescan = (i == p0) & ~ltv & (i <= last_i)
+        ev = adopt | rescan
+        take = ev & ~init_found
+        init_pos = jnp.where(take, i, init_pos)
+        init_adopt = jnp.where(take, adopt, init_adopt)
+        init_found = init_found | ev
+
+    return ScanTables(
+        nxt_pos_a=flat(na_pos), nxt_adopt_a=flat(na_adopt),
+        nxt_pos_r=flat(nr_pos), nxt_adopt_r=flat(nr_adopt),
+        val_a=flat(c_ent), rev_a=flat(r_ent), sel_a=flat(sel_a),
+        val_r=flat(em_r), rev_r=flat(er_r), sel_r=flat(sel_r),
+        init_nxt_pos=init_pos[0], init_nxt_adopt=init_adopt[0],
+        init_val=em0, init_rev=er0,
+        init_sel=U.le(eh0, threshold)[0],
+    )
+
+
+def _block_tables(c2, row0, length, threshold, k, m, C, halo):
+    """Successor/payload tables for a (Rb, C+halo) block of codes whose
+    first row starts at flat position row0*C. Shared by the XLA 2D path
+    (whole grid) and the Pallas kernel (per block)."""
+    W = k - m + 1
+    R = c2.shape[0]
+
+    def sl(a, off, width):
+        return jax.lax.slice_in_dim(a, off, off + width, axis=1)
+
+    def slh(a, off, width):
+        return U.U64(sl(a.hi, off, width), sl(a.lo, off, width))
+
+    # rolling m-mer codes at every start position (fwd / rc)
+    w_m = C + halo - (m - 1)
+    fwd = jnp.zeros((R, w_m), jnp.uint32)
+    rc = jnp.zeros((R, w_m), jnp.uint32)
+    for j in range(m):
+        c = sl(c2, j, w_m)
+        fwd = (fwd << 2) | c
+        rc = rc | ((c ^ 2) << (2 * j))
+    rev = rc < fwd
+    # unsigned minimum via select (Mosaic lacks vector umin)
+    canon = jnp.where(rev, rc, fwd)
+    hh = xxh64_u32(canon)
+
+    # window elections (exact regular_minimizer_pos fold, right-to-left)
+    w_e = w_m - (k - m)  # = C + W
+    mini = sl(canon, k - m, w_e)
+    is_rev = sl(rev, k - m, w_e)
+    pos = jnp.where(is_rev, 0, k - m).astype(_I32)
+    hmin = slh(hh, k - m, w_e)
+    for i in range(1, W):
+        off = k - m - i
+        mmer = sl(canon, off, w_e)
+        local_rev = sl(rev, off, w_e)
+        h = slh(hh, off, w_e)
+        replace = U.gt(hmin, h)
+        tie = (mmer == mini) & ~replace
+        same_dir = tie & (local_rev == is_rev)
+        # bool selects written as logical ops (Mosaic-friendly)
+        tie_take = same_dir & ((is_rev & (pos > i))
+                               | (~is_rev & (pos > (k - m - i))))
+        take = replace | tie_take
+        new_pos = jnp.where(replace, k - m - i,
+                            jnp.where(is_rev, i, k - m - i)).astype(_I32)
+        pos = jnp.where(take, new_pos, pos)
+        mini = jnp.where(take, mmer, mini)
+        is_rev = (take & local_rev) | (~take & is_rev)
+        hmin = U.where(take, h, hmin)
+    em, ep, er, eh = mini, pos, is_rev, hmin
+
+    # entering m-mer per loop position (m-mer offset k-m+1); width C+W
+    # so the successor scan can look W columns ahead.
+    w_h = w_m - (k - m + 1)  # = C + W - 1... need C + W; use C + W - 1?
+    # h_ent[c] = hash of m-mer starting at c + k - m + 1; the succ scan
+    # reads offsets 1..W of h_ent => needs width C + W.
+    w_h = C + W
+    h_ent = slh(hh, k - m + 1, w_h)
+
+    pos2d = ((jax.lax.broadcasted_iota(_I32, (R, C), 0) + row0) * C
+             + jax.lax.broadcasted_iota(_I32, (R, C), 1))
+    last_i = (length - k - 1).astype(_I32)
+
+    h_ent0 = slh(h_ent, 0, C)
+    # rescan-node state: election of window j+1
+    em_r = sl(em, 1, C)
+    ep_r = sl(ep, 1, C)
+    er_r = sl(er, 1, C)
+    eh_r = slh(eh, 1, C)
+    pa = pos2d + W
+    pr = ep_r + pos2d + 1
+
+    # fused successor scan for both node types
+    na_pos = jnp.full((R, C), -1, _I32)
+    na_adopt = jnp.zeros((R, C), bool)
+    na_found = jnp.zeros((R, C), bool)
+    nr_pos = jnp.full((R, C), -1, _I32)
+    nr_adopt = jnp.zeros((R, C), bool)
+    nr_found = jnp.zeros((R, C), bool)
+    for w in range(1, W + 1):
+        i = pos2d + w
+        hi = slh(h_ent, w, C)
+        ok = i <= last_i
+        lt_a = U.lt(hi, h_ent0)
+        adopt = (i <= pa) & lt_a & ok
+        rescan = (i == pa) & ~lt_a & ok
+        ev = adopt | rescan
+        take = ev & ~na_found
+        na_pos = jnp.where(take, i, na_pos)
+        na_adopt = (take & adopt) | (~take & na_adopt)
+        na_found = na_found | ev
+        lt_r = U.lt(hi, eh_r)
+        adopt = (i <= pr) & lt_r & ok
+        rescan = (i == pr) & ~lt_r & ok
+        ev = adopt | rescan
+        take = ev & ~nr_found
+        nr_pos = jnp.where(take, i, nr_pos)
+        nr_adopt = (take & adopt) | (~take & nr_adopt)
+        nr_found = nr_found | ev
+
+    c_ent = sl(canon, k - m + 1, C)
+    r_ent = sl(rev, k - m + 1, C)
+    sel_a = U.le(h_ent0, threshold)
+    sel_r = U.le(eh_r, threshold)
+
+    return (na_pos, na_adopt, nr_pos, nr_adopt, c_ent, r_ent, sel_a,
+            em_r, er_r, sel_r, em, ep, er, eh, h_ent0)
+
+
+def walk_chain_host(t: ScanTables):
+    """Follow successor links from the initial state.
+
+    Uses the native C walker when available (microseconds for millions
+    of events); falls back to a Python loop. Returns (event_positions
+    int64[], event_types uint8[] (0=A,1=R), values uint32[], revs
+    bool[], sels bool[]) plus the initial payload (val, rev, sel).
+    """
+    from supersampler_tpu.native import walk_chain_native
+
+    npa = np.ascontiguousarray(np.asarray(t.nxt_pos_a, dtype=np.int32))
+    naa = np.ascontiguousarray(
+        np.asarray(t.nxt_adopt_a).astype(np.uint8))
+    npr = np.ascontiguousarray(np.asarray(t.nxt_pos_r, dtype=np.int32))
+    nar = np.ascontiguousarray(
+        np.asarray(t.nxt_adopt_r).astype(np.uint8))
+    init_pos = int(t.init_nxt_pos)
+    init_adopt = bool(t.init_nxt_adopt)
+
+    res = walk_chain_native(npa, naa, npr, nar, init_pos, init_adopt)
+    if res is not None:
+        pos32, typ = res
+        pos = pos32.astype(np.int64)
+    else:
+        pos_list, type_list = [], []
+        p, ty = init_pos, 0 if init_adopt else 1
+        while p >= 0:
+            pos_list.append(p)
+            type_list.append(ty)
+            if ty == 0:
+                p, ty = int(npa[p]), 0 if naa[p] else 1
+            else:
+                p, ty = int(npr[p]), 0 if nar[p] else 1
+        pos = np.array(pos_list, dtype=np.int64)
+        typ = np.array(type_list, dtype=np.uint8)
+
+    is_a = typ == 0
+    val = np.where(is_a, np.asarray(t.val_a)[pos], np.asarray(t.val_r)[pos])
+    rev = np.where(is_a, np.asarray(t.rev_a)[pos], np.asarray(t.rev_r)[pos])
+    sel = np.where(is_a, np.asarray(t.sel_a)[pos], np.asarray(t.sel_r)[pos])
     init = (int(t.init_val), bool(t.init_rev), bool(t.init_sel))
-    return pos, typ, val, rev, sel, init
+    return pos, typ, val.astype(np.uint32), rev.astype(bool), sel.astype(
+        bool), init

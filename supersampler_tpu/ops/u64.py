@@ -15,7 +15,7 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 
 _U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = 0xFFFF  # plain int: avoids a captured constant in Pallas kernels
 
 
 class U64(NamedTuple):

@@ -15,17 +15,25 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
+import jax
+
 from supersampler_tpu.core.scalar import NUC2INT_LUT
 from supersampler_tpu.ops import u64 as U
-from supersampler_tpu.ops.minimizer import device_scan, walk_chain_host
+from supersampler_tpu.ops.minimizer import scan_tables_2d, walk_chain_host
 from supersampler_tpu.oracle.subsampler import OracleSubsampler
 
 _PAD_BUCKETS = [1 << b for b in range(10, 31)]
 
+device_scan_2d = jax.jit(scan_tables_2d, static_argnums=(1, 2, 3, 6))
 
-def padded_size(n: int) -> int:
+
+def padded_size(n: int, margin: int = 128) -> int:
+    """Power-of-two padding with room for the 2D layout's halo
+    (k + W lookahead columns wrap across rows)."""
     for b in _PAD_BUCKETS:
-        if n + 2 <= b:
+        if n + margin <= b:
             return b
     raise ValueError(f"sequence too long: {n}")
 
@@ -41,10 +49,11 @@ class TpuSubsampler(OracleSubsampler):
         k, m = self.k, self.m
         L = len(ref)
         codes_np = NUC2INT_LUT[np.frombuffer(ref.encode(), dtype=np.uint8)]
-        P = padded_size(L)
+        margin = 2 * (2 * k - m + 2) + 128
+        P = padded_size(L, margin)
         codes = np.zeros(P, dtype=np.uint8)
         codes[:L] = codes_np
-        tables = device_scan(
+        tables = device_scan_2d(
             jnp.asarray(codes), k, m, P, jnp.int32(L),
             U.from_scalar(self.threshold))
         pos, typ, val, rev, sel, init = walk_chain_host(tables)
@@ -52,38 +61,58 @@ class TpuSubsampler(OracleSubsampler):
 
     def _assemble(self, ref, pos, val, rev, sel, init):
         """Replay the boundary bookkeeping of the reference loop
-        (SubSampler.cpp:401-454) over the event list."""
+        (SubSampler.cpp:401-454) over the event list.
+
+        Aggregate stats are vectorized; Python only touches the
+        *selected* boundaries (the FHS-sampled tail).
+        """
         k, m = self.k, self.m
         L = len(ref)
-        last_position = 0
+        n_ev = len(pos)
+        # boundary n closes the super-k-mer started after boundary n-1,
+        # carrying the PREVIOUS event's (or init's) payload
+        last_positions = np.empty(n_ev, dtype=np.int64)
+        prev_val = np.empty(n_ev, dtype=np.uint32)
+        prev_rev = np.empty(n_ev, dtype=bool)
+        prev_sel = np.empty(n_ev, dtype=bool)
+        if n_ev:
+            last_positions[0] = 0
+            last_positions[1:] = pos[:-1] + 1
+            prev_val[0], prev_rev[0], prev_sel[0] = init
+            prev_val[1:] = val[:-1]
+            prev_rev[1:] = rev[:-1]
+            prev_sel[1:] = sel[:-1]
+        self.total_kmer_number += int(np.sum(pos - last_positions + 1))
+        self.total_superkmer_number += n_ev
+        # selected boundaries: handle_superkmer + density bookkeeping
+        # (pos_end is sequential but only across selected boundaries)
         pos_end = 0
-        prev_val, prev_rev, prev_sel = init
-        for n in range(len(pos)):
+        for n in np.nonzero(prev_sel)[0]:
             i = int(pos[n])
-            if prev_sel:
-                if last_position + m - 2 > pos_end:
-                    if pos_end > 0:
-                        self.nb_mmer_selected -= m - 1
-                    self.nb_mmer_selected += i + k - last_position
-                    self.nb_mmer_selected -= k - m
-                else:
-                    self.nb_mmer_selected += i + k - (pos_end + 1)
-                self.handle_superkmer(
-                    ref[last_position : i + k], int(prev_val),
-                    bool(prev_rev))
-                pos_end = i + k - 1
-            self.total_kmer_number += i - last_position + 1
-            self.total_superkmer_number += 1
-            last_position = i + 1
-            prev_val, prev_rev, prev_sel = int(val[n]), bool(rev[n]), bool(
-                sel[n])
+            last_position = int(last_positions[n])
+            if last_position + m - 2 > pos_end:
+                if pos_end > 0:
+                    self.nb_mmer_selected -= m - 1
+                self.nb_mmer_selected += i + k - last_position
+                self.nb_mmer_selected -= k - m
+            else:
+                self.nb_mmer_selected += i + k - (pos_end + 1)
+            self.handle_superkmer(
+                ref[last_position : i + k], int(prev_val[n]),
+                bool(prev_rev[n]))
+            pos_end = i + k - 1
+        # tail flush (SubSampler.cpp:441-454)
+        if n_ev:
+            last_position = int(pos[-1]) + 1
+            t_val, t_rev, t_sel = int(val[-1]), bool(rev[-1]), bool(sel[-1])
+        else:
+            last_position = 0
+            t_val, t_rev, t_sel = init
         i = L - k
         if L - last_position > k - 1:
-            if prev_sel:
+            if t_sel:
                 self.nb_mmer_selected -= m - 1
                 self.handle_superkmer(
-                    ref[last_position : i + k], int(prev_val),
-                    bool(prev_rev))
-                pos_end = i + k - 1
+                    ref[last_position : i + k], t_val, t_rev)
             self.total_kmer_number += i - last_position + 1
             self.total_superkmer_number += 1
