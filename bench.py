@@ -30,6 +30,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from supersampler_tpu import enable_compilation_cache
+    enable_compilation_cache()
+
     from supersampler_tpu.core.scalar import compute_threshold
     from supersampler_tpu.ops import u64 as U
     from supersampler_tpu.ops.minimizer import scan_tables_2d, walk_chain_host

@@ -55,6 +55,8 @@ def main(argv=None) -> int:
     if not o["i"] and not o["f"]:
         print(USAGE, end="")
         return 0
+    from supersampler_tpu import enable_compilation_cache
+    enable_compilation_cache()
     k, m = o["k"], o["m"]
     if m % 2 == 0:
         print("Minimizer size must be odd")

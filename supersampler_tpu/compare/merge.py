@@ -101,15 +101,26 @@ class TpuComparator:
         fid_sel = fids[sel]  # ascending within each group (lexsort key)
         _, gstart, gcount = np.unique(gid_sel, return_index=True,
                                       return_counts=True)
-        pair_keys: Dict[int, int] = self.score_A
+        # vectorized pairwise accumulation: within a group every file id
+        # is distinct and sorted, so enumerate ordered pairs by local
+        # distance d (bounded by nb_files) instead of a per-group loop
         nbf = n
-        for s, c in zip(gstart, gcount):
-            fs = fid_sel[s : s + c]
-            for a in range(c):
-                base = fs[a] * nbf
-                for b in range(a + 1, c):
-                    key = int(base + fs[b])
-                    pair_keys[key] = pair_keys.get(key, 0) + 1
+        starts = np.repeat(gstart, gcount)
+        counts_per_elem = np.repeat(gcount, gcount)
+        local = np.arange(fid_sel.size) - starts
+        keys_all = []
+        max_c = int(gcount.max())
+        for d in range(1, max_c):
+            a = np.nonzero(local + d < counts_per_elem)[0]
+            if a.size == 0:
+                break
+            keys_all.append(fid_sel[a] * nbf + fid_sel[a + d])
+        if keys_all:
+            keys = np.concatenate(keys_all)
+            uniq, cnt = np.unique(keys, return_counts=True)
+            pair_keys: Dict[int, int] = self.score_A
+            for key, c in zip(uniq.tolist(), cnt.tolist()):
+                pair_keys[key] = pair_keys.get(key, 0) + c
 
     # ------------------------------------------------------------------
     def containment_csv(self) -> str:

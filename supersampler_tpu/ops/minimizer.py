@@ -332,6 +332,30 @@ def scan_tables_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
     )
 
 
+def unpack_2bit(packed: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Expand a 2-bit-packed uint8 array (4 codes/byte, LSB-first like
+    the host packer) to n uint8 codes."""
+    u = packed.reshape(-1, 1).astype(jnp.uint32)
+    shifts = jnp.array([0, 2, 4, 6], jnp.uint32).reshape(1, 4)
+    return ((u >> shifts) & 3).astype(jnp.uint8).reshape(n)
+
+
+def pack_2bit_np(codes: np.ndarray) -> np.ndarray:
+    """Host-side 4x compaction of 2-bit codes for the H2D transfer
+    (the host link, not HBM, bounds pipeline throughput)."""
+    c = codes.reshape(-1, 4)
+    return (c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4)
+            | (c[:, 3] << 6)).astype(np.uint8)
+
+
+def scan_tables_2d_packed(packed: jnp.ndarray, k: int, m: int,
+                          padded_len: int, length: jnp.ndarray,
+                          threshold: U.U64, cols: int = 512) -> ScanTables:
+    """scan_tables_2d over a 2-bit-packed codes array (see pack_2bit_np)."""
+    codes = unpack_2bit(packed, padded_len)
+    return scan_tables_2d(codes, k, m, padded_len, length, threshold, cols)
+
+
 def _block_tables(c2, row0, length, threshold, k, m, C, halo):
     """Successor/payload tables for a (Rb, C+halo) block of codes whose
     first row starts at flat position row0*C. Shared by the XLA 2D path

@@ -21,12 +21,35 @@ import jax
 
 from supersampler_tpu.core.scalar import NUC2INT_LUT
 from supersampler_tpu.ops import u64 as U
-from supersampler_tpu.ops.minimizer import scan_tables_2d, walk_chain_host
+from supersampler_tpu.ops.chain import chain_stage1, compact_from_stage1
+from supersampler_tpu.ops.minimizer import (pack_2bit_np, scan_tables_2d,
+                                            scan_tables_2d_packed,
+                                            walk_chain_host)
 from supersampler_tpu.oracle.subsampler import OracleSubsampler
 
 _PAD_BUCKETS = [1 << b for b in range(10, 31)]
 
 device_scan_2d = jax.jit(scan_tables_2d, static_argnums=(1, 2, 3, 6))
+device_scan_2d_packed = jax.jit(scan_tables_2d_packed,
+                                static_argnums=(1, 2, 3, 6))
+
+
+_stage1_scan_jit = jax.jit(chain_stage1, static_argnums=(1,))
+
+
+def _scan_chain_packed(packed, k: int, m: int, P: int, length, thr_hi,
+                       thr_lo):
+    """2D scan + pointer-doubling chain walk, two device dispatches.
+
+    Kept as separate jit units: fusing them into one XLA program
+    multiplies CPU-backend compile time ~10x for a ~1 ms dispatch win,
+    and the intermediate ScanTables never leave the device either way."""
+    t = device_scan_2d_packed(packed, k, m, P, length,
+                              U.U64(thr_hi, thr_lo))
+    cap = 1
+    while cap < P - k:
+        cap *= 2
+    return _stage1_scan_jit(t, cap)
 
 
 def padded_size(n: int, margin: int = 128) -> int:
@@ -45,7 +68,9 @@ class TpuSubsampler(OracleSubsampler):
     stats from the scalar spec; only scan_sequence is replaced.
     """
 
-    def scan_sequence(self, ref: str) -> None:
+    def _launch_scan(self, ref: str):
+        """Asynchronously dispatch the device scan + chain walk for one
+        sequence (jax dispatch is non-blocking)."""
         k, m = self.k, self.m
         L = len(ref)
         codes_np = NUC2INT_LUT[np.frombuffer(ref.encode(), dtype=np.uint8)]
@@ -53,11 +78,86 @@ class TpuSubsampler(OracleSubsampler):
         P = padded_size(L, margin)
         codes = np.zeros(P, dtype=np.uint8)
         codes[:L] = codes_np
-        tables = device_scan_2d(
-            jnp.asarray(codes), k, m, P, jnp.int32(L),
-            U.from_scalar(self.threshold))
-        pos, typ, val, rev, sel, init = walk_chain_host(tables)
-        self._assemble(ref, pos, val, rev, sel, init)
+        thr = self.threshold
+        return _scan_chain_packed(
+            jnp.asarray(pack_2bit_np(codes)), k, m, P, jnp.int32(L),
+            jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF))
+
+    def scan_sequence(self, ref: str) -> None:
+        self._assemble_compact(
+            ref, *compact_from_stage1(self._launch_scan(ref)))
+
+    def sketch_file(self, input_path: str):
+        """Like OracleSubsampler.sketch_file but keeps a small window of
+        sequences in flight on the device: the scan of record n+1..n+W
+        overlaps with the host assembly of record n."""
+        import collections
+        import os
+
+        from supersampler_tpu.io.fasta import iter_fasta_records
+        from supersampler_tpu.core.scalar import MASK64
+
+        k = self.k
+        if not os.path.exists(input_path):
+            print("Problem with file opening")
+            print(f"Can't open file: {input_path}")
+            return None
+        window = 4
+        pending = collections.deque()
+        for ref_bytes in iter_fasta_records(input_path):
+            ref = ref_bytes.decode()
+            if len(ref) < k:
+                ref = ""
+            else:
+                self.read_kmer += len(ref) - k + 1
+            if ref:
+                if len(pending) >= window:
+                    r, s1 = pending.popleft()
+                    self._assemble_compact(r, *compact_from_stage1(s1))
+                pending.append((ref, self._launch_scan(ref)))
+        while pending:
+            r, s1 = pending.popleft()
+            self._assemble_compact(r, *compact_from_stage1(s1))
+        self.nb_mmer_selected = (self.nb_mmer_selected
+                                 - (self.m - 1)) & MASK64
+        return self.serialize()
+
+    def _assemble_compact(self, ref, sel_pos, sel_last, sel_val, sel_rev,
+                          n_ev, last_ev_pos, tail_val, tail_rev, tail_sel):
+        """Replay the boundary loop (SubSampler.cpp:401-454) from the
+        device-compacted selected boundaries.
+
+        The aggregate counters telescope: each event n contributes
+        pos[n]-pos[n-1] k-mers and the tail flush always fires (events
+        are confined to i <= L-k-1), so the per-sequence totals are
+        exactly L-k+1 k-mers and n_ev+1 super-k-mers.
+        """
+        k, m = self.k, self.m
+        L = len(ref)
+        self.total_kmer_number += L - k + 1
+        self.total_superkmer_number += n_ev + 1
+        pos_end = 0
+        for j in range(len(sel_pos)):
+            i = int(sel_pos[j])
+            last_position = int(sel_last[j])
+            if last_position + m - 2 > pos_end:
+                if pos_end > 0:
+                    self.nb_mmer_selected -= m - 1
+                self.nb_mmer_selected += i + k - last_position
+                self.nb_mmer_selected -= k - m
+            else:
+                self.nb_mmer_selected += i + k - (pos_end + 1)
+            self.handle_superkmer(
+                ref[last_position : i + k], int(sel_val[j]),
+                bool(sel_rev[j]))
+            pos_end = i + k - 1
+        # tail flush (SubSampler.cpp:441-454); L - last_position > k-1
+        # always holds since last_ev_pos <= L-k-1
+        last_position = last_ev_pos + 1 if n_ev else 0
+        if tail_sel:
+            self.nb_mmer_selected -= m - 1
+            self.handle_superkmer(ref[last_position:], int(tail_val),
+                                  bool(tail_rev))
 
     def _assemble(self, ref, pos, val, rev, sel, init):
         """Replay the boundary bookkeeping of the reference loop
