@@ -21,10 +21,10 @@ import jax
 
 from supersampler_tpu.core.scalar import NUC2INT_LUT
 from supersampler_tpu.ops import u64 as U
-from supersampler_tpu.ops.chain import chain_stage1, compact_from_stage1
 from supersampler_tpu.ops.minimizer import (pack_2bit_np, scan_tables_2d,
                                             scan_tables_2d_packed,
                                             walk_chain_host)
+from supersampler_tpu.ops.walker import DeviceChain
 from supersampler_tpu.oracle.subsampler import OracleSubsampler
 
 _PAD_BUCKETS = [1 << b for b in range(10, 31)]
@@ -34,22 +34,18 @@ device_scan_2d_packed = jax.jit(scan_tables_2d_packed,
                                 static_argnums=(1, 2, 3, 6))
 
 
-_stage1_scan_jit = jax.jit(chain_stage1, static_argnums=(1,))
-
-
 def _scan_chain_packed(packed, k: int, m: int, P: int, length, thr_hi,
-                       thr_lo):
-    """2D scan + pointer-doubling chain walk, two device dispatches.
+                       thr_lo, sel_cap_guess: int = 4096) -> DeviceChain:
+    """2D scan + Pallas serial chain walk + speculative compaction —
+    three asynchronous device dispatches, zero host syncs (the walk
+    chases the event chain on the TPU scalar core; ops/walker.py).
 
     Kept as separate jit units: fusing them into one XLA program
     multiplies CPU-backend compile time ~10x for a ~1 ms dispatch win,
     and the intermediate ScanTables never leave the device either way."""
     t = device_scan_2d_packed(packed, k, m, P, length,
                               U.U64(thr_hi, thr_lo))
-    cap = 1
-    while cap < P - k:
-        cap *= 2
-    return _stage1_scan_jit(t, cap)
+    return DeviceChain(t, sel_cap_guess=sel_cap_guess)
 
 
 def padded_size(n: int, margin: int = 128) -> int:
@@ -68,7 +64,9 @@ class TpuSubsampler(OracleSubsampler):
     stats from the scalar spec; only scan_sequence is replaced.
     """
 
-    def _launch_scan(self, ref: str):
+    _sel_cap_guess = 4096
+
+    def _launch_scan(self, ref: str) -> DeviceChain:
         """Asynchronously dispatch the device scan + chain walk for one
         sequence (jax dispatch is non-blocking)."""
         k, m = self.k, self.m
@@ -79,13 +77,23 @@ class TpuSubsampler(OracleSubsampler):
         codes = np.zeros(P, dtype=np.uint8)
         codes[:L] = codes_np
         thr = self.threshold
+        if self.s <= 1:
+            # select-all: every boundary is selected; skip speculation
+            guess = P
+        else:
+            guess = self._sel_cap_guess
         return _scan_chain_packed(
             jnp.asarray(pack_2bit_np(codes)), k, m, P, jnp.int32(L),
-            jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF))
+            jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF),
+            sel_cap_guess=guess)
+
+    def _finish_scan(self, ref: str, dc: DeviceChain) -> None:
+        self._assemble_compact(ref, *dc.compact())
+        # adapt the speculative compaction capacity to this input
+        self._sel_cap_guess = max(4096, 2 * dc.n_sel)
 
     def scan_sequence(self, ref: str) -> None:
-        self._assemble_compact(
-            ref, *compact_from_stage1(self._launch_scan(ref)))
+        self._finish_scan(ref, self._launch_scan(ref))
 
     def sketch_file(self, input_path: str):
         """Like OracleSubsampler.sketch_file but keeps a small window of
@@ -112,12 +120,12 @@ class TpuSubsampler(OracleSubsampler):
                 self.read_kmer += len(ref) - k + 1
             if ref:
                 if len(pending) >= window:
-                    r, s1 = pending.popleft()
-                    self._assemble_compact(r, *compact_from_stage1(s1))
+                    r, dc = pending.popleft()
+                    self._finish_scan(r, dc)
                 pending.append((ref, self._launch_scan(ref)))
         while pending:
-            r, s1 = pending.popleft()
-            self._assemble_compact(r, *compact_from_stage1(s1))
+            r, dc = pending.popleft()
+            self._finish_scan(r, dc)
         self.nb_mmer_selected = (self.nb_mmer_selected
                                  - (self.m - 1)) & MASK64
         return self.serialize()
