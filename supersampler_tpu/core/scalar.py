@@ -88,6 +88,17 @@ def str2num(s: str) -> int:
     return res
 
 
+# ACGT -> base-4 digits for the fast path below; other bytes never occur
+# after clean_dna (utils.cpp:675-702 strips them before any packing).
+_TO_BASE4 = str.maketrans("ACTG", "0123")
+
+
+def str2num_fast(s: str) -> int:
+    """str2num for cleaned (ACGT-only) strings: one C-level base-4 parse
+    instead of a Python loop per nucleotide."""
+    return int(s.translate(_TO_BASE4), 4) if s else 0
+
+
 def num2str(num: int, k: int) -> str:
     """Unpack ``k`` nucleotides (reference utils.cpp:168-183)."""
     out = []
@@ -115,11 +126,15 @@ def canonize(x: int, n: int) -> int:
     return min(x, revcomp_code(x, n))
 
 
+_COMP_TABLE = str.maketrans(
+    {c: {"A": "T", "C": "G", "G": "C", "T": "A"}.get(c, "A")
+     for c in map(chr, range(256))})
+
+
 def revcomp_str(s: str) -> str:
     """String reverse complement; non-ACGT maps to 'A'
     (reference utils.cpp:131-148)."""
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
-    return "".join(comp.get(c, "A") for c in reversed(s))
+    return s.translate(_COMP_TABLE)[::-1]
 
 
 def str_compressor(s: str) -> bytes:
@@ -135,14 +150,18 @@ def str_compressor(s: str) -> bytes:
         return b""
     mod = len(s) % 4
     out = bytearray([mod])
-    c = 0
-    for i, ch in enumerate(s):
-        c = (c + ((ord(ch) // 2) % 4)) & 0xFF
-        if (i + 1) % 4 == 0:
-            out.append(c)
-            c = 0
-        c = (c << 2) & 0xFF
+    codes = NUC2INT_LUT[np.frombuffer(s.encode(), dtype=np.uint8)]
+    nfull = len(s) // 4
+    if nfull:
+        g = codes[: 4 * nfull].reshape(-1, 4).astype(np.uint8)
+        out += ((g[:, 0] << 6) | (g[:, 1] << 4) | (g[:, 2] << 2)
+                | g[:, 3]).tobytes()
     if mod != 0:
+        # the reference shifts after every append, including the last,
+        # so the partial byte carries one extra <<2
+        c = 0
+        for v in codes[4 * nfull:]:
+            c = ((c | int(v)) << 2) & 0xFF
         out.append(c)
     return bytes(out)
 

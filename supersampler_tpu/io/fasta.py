@@ -25,21 +25,14 @@ def open_maybe_gzip(path: str) -> io.BufferedReader:
     return f
 
 
-import numpy as np
-
-_KEEP_LUT = np.zeros(256, dtype=bool)
-for _c in b"ACGTacgt":
-    _KEEP_LUT[_c] = True
-_UPPER_LUT = np.arange(256, dtype=np.uint8)
-for _c in b"acgt":
-    _UPPER_LUT[_c] = _c - 32
+_UPPER_TRANS = bytes.maketrans(b"acgt", b"ACGT")
+_DELETE_NON_ACGT = bytes(c for c in range(256) if c not in b"ACGTacgt")
 
 
 def clean_dna(s: bytes) -> bytes:
-    """Strip non-ACGT and uppercase (reference utils.cpp:675-702)."""
-    arr = np.frombuffer(s, dtype=np.uint8)
-    kept = arr[_KEEP_LUT[arr]]
-    return _UPPER_LUT[kept].tobytes()
+    """Strip non-ACGT and uppercase (reference utils.cpp:675-702) — one
+    C-level translate call."""
+    return s.translate(_UPPER_TRANS, _DELETE_NON_ACGT)
 
 
 def iter_fasta_records(path: str) -> Iterator[bytes]:
@@ -47,24 +40,28 @@ def iter_fasta_records(path: str) -> Iterator[bytes]:
     (reference SubSampler.cpp:334-347 + utils.cpp:706-718).
 
     Every yielded item corresponds to one getLineFasta call (possibly an
-    empty sequence); the caller applies the length-k filter.
-    """
+    empty sequence); the caller applies the length-k filter. Record
+    bodies are cleaned as whole slabs: newlines are non-ACGT, so
+    clean_dna concatenates the body lines exactly like the reference's
+    line loop (a '>' only ends a record at line start, i.e. after
+    b"\\n")."""
     with open_maybe_gzip(path) as f:
         data = f.read()
-    lines: List[bytes] = data.split(b"\n")
-    # A trailing newline produces a final empty element that getline would
-    # never return (eof); drop it.
-    if lines and lines[-1] == b"":
-        lines.pop()
-    i = 0
-    n = len(lines)
-    while i < n:
-        i += 1  # getLineFasta discards the current (header) line
-        chunks: List[bytes] = []
-        while i < n and not lines[i].startswith(b">"):
-            chunks.append(lines[i])
-            i += 1
-        yield clean_dna(b"".join(chunks))
+    pos = 0
+    n = len(data)
+    while pos < n:
+        nl = data.find(b"\n", pos)   # discard the current (header) line
+        if nl < 0:
+            yield b""
+            break
+        nxt = data.find(b"\n>", nl)
+        if nxt < 0:
+            body = data[nl + 1:]
+            pos = n
+        else:
+            body = data[nl + 1 : nxt]
+            pos = nxt + 1
+        yield clean_dna(body)
 
 
 def read_fof(path: str) -> List[str]:

@@ -44,6 +44,7 @@ from supersampler_tpu.ops.minimizer import ScanTables
 
 _I32 = jnp.int32
 _COLS = 256
+_COLS_LOG2 = 8
 _ROWS = 8
 _BP = _ROWS * _COLS   # positions per grid step
 
@@ -84,48 +85,48 @@ def _walk_kernel(init_ref, packed_ref, ei_ref, el_ref, es_ref, cnt_ref,
         st[4] = init_ref[1]     # first event type
         st[5] = 0
 
-    def cond(cnt):
-        del cnt
-        return (st[3] >= 0) & (st[3] < block_end)
+    # chain state rides in loop-carry registers; SMEM only at block edges
+    def cond(c):
+        return (c[3] >= 0) & (c[3] < block_end)
 
-    def body(cnt):
-        npos = st[3]
-        ntyp = st[4]
-        cur_pos = st[0]
-        cur_typ = st[1]
-        cur_sel = st[2]
+    def body(c):
+        cur_pos, cur_typ, cur_sel, npos, ntyp, n_ev, cnt = c
 
         # the transition into event (npos) closes a super-k-mer carrying
         # the *current* payload (SubSampler.cpp:401-426)
         @pl.when(cur_sel != 0)
         def _():
-            r = cnt >> 8
-            c = cnt & (_COLS - 1)
-            ei_ref[r, c] = npos
-            el_ref[r, c] = cur_pos + 1
-            es_ref[r, c] = jnp.where(cur_pos < 0, -1,
-                                     2 * cur_pos + cur_typ)
+            r = cnt >> _COLS_LOG2
+            cc = cnt & (_COLS - 1)
+            ei_ref[r, cc] = npos
+            el_ref[r, cc] = cur_pos + 1
+            es_ref[r, cc] = jnp.where(cur_pos < 0, -1,
+                                      2 * cur_pos + cur_typ)
 
         local = npos - block_start
-        w = packed_ref[local >> 8, local & (_COLS - 1)]
+        w = packed_ref[local >> _COLS_LOG2, local & (_COLS - 1)]
         sel = jnp.where(ntyp == 0, (w >> 14) & 1, (w >> 15) & 1)
         delta = jnp.where(ntyp == 0, w & 63, (w >> 7) & 63)
         ntyp2 = jnp.where(ntyp == 0, (w >> 6) & 1, (w >> 13) & 1)
-        st[0] = npos
-        st[1] = ntyp
-        st[2] = sel
-        st[3] = jnp.where(delta > 0, npos + delta, -1)
-        st[4] = ntyp2
-        st[5] = st[5] + 1
-        return cnt + jnp.where(cur_sel != 0, 1, 0).astype(_I32)
+        return (npos, ntyp, sel,
+                jnp.where(delta > 0, npos + delta, -1), ntyp2,
+                n_ev + 1, cnt + (cur_sel != 0).astype(_I32))
 
-    cnt = jax.lax.while_loop(cond, body, jnp.int32(0))
+    init = (st[0], st[1], st[2], st[3], st[4], st[5], jnp.int32(0))
+    (cur_pos, cur_typ, cur_sel, npos, ntyp, n_ev,
+     cnt) = jax.lax.while_loop(cond, body, init)
+    st[0] = cur_pos
+    st[1] = cur_typ
+    st[2] = cur_sel
+    st[3] = npos
+    st[4] = ntyp
+    st[5] = n_ev
     cnt_ref[jax.lax.rem(b, 8), 0] = cnt
     # running final-state snapshot; the last grid step's write wins
-    scal_ref[0, 0] = st[5]   # n_ev
-    scal_ref[0, 1] = st[0]   # last event position (-1 if no events)
-    scal_ref[0, 2] = st[1]   # last event type
-    scal_ref[0, 3] = st[2]   # tail payload sel
+    scal_ref[0, 0] = n_ev     # n_ev
+    scal_ref[0, 1] = cur_pos  # last event position (-1 if no events)
+    scal_ref[0, 2] = cur_typ  # last event type
+    scal_ref[0, 3] = cur_sel  # tail payload sel
 
 
 def walk_pallas(packed: jnp.ndarray, init_nxt_pos, init_nxt_typ, init_sel,

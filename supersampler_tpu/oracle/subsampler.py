@@ -43,6 +43,14 @@ from supersampler_tpu.core.scalar import (
 from supersampler_tpu.io.fasta import iter_fasta_records
 
 
+# bytes-level tables for super-k-mer intake (handle_superkmer works on
+# bytes to avoid str<->bytes round trips on the hot path)
+_B4_BYTES = bytes.maketrans(b"ACTG", b"0123")
+_COMP_BYTES = bytes.maketrans(
+    bytes(range(256)),
+    bytes({65: 84, 67: 71, 71: 67, 84: 65}.get(c, 65) for c in range(256)))
+
+
 class KmerInfo:
     __slots__ = ("count", "pos_min", "seen")
 
@@ -130,30 +138,47 @@ class OracleSubsampler:
     # ------------------------------------------------------------------
     # Super-k-mer intake (SubSampler.cpp:243-302).
     # ------------------------------------------------------------------
-    def handle_superkmer(self, superkmer: str, input_minimizer: int,
+    def handle_superkmer(self, superkmer, input_minimizer: int,
                          inputrev: bool) -> None:
         k, m = self.k, self.m
+        if isinstance(superkmer, str):
+            superkmer = superkmer.encode()
         self.selected_superkmer_number += 1
         if inputrev:
-            superkmer = revcomp_str(superkmer)
-        self.selected_kmer_number += len(superkmer) - k + 1
+            superkmer = superkmer.translate(_COMP_BYTES)[::-1]
+        n = len(superkmer) - k + 1
+        self.selected_kmer_number += n
         if len(superkmer) == 2 * k - m:
             self.count_maximal_skmer += 1
-        minstr = num2str(input_minimizer, m)
-        for i in range(len(superkmer) - k + 1):
-            kmerstr = superkmer[i : i + k]
-            position_min = kmerstr.find(minstr)
-            if position_min < 0:
+        minstr = num2str(input_minimizer, m).encode()
+        # one pass over minimizer occurrences + big-int k-mer slicing
+        # replaces the reference's per-k-mer find/str2num
+        # (SubSampler.cpp:258-301); position_min = first occurrence
+        # inside the k-mer, identical to kmerstr.find(minstr).
+        occ = []
+        p = superkmer.find(minstr)
+        while p != -1:
+            occ.append(p)
+            p = superkmer.find(minstr, p + 1)
+        big = int(superkmer.translate(_B4_BYTES), 4) if superkmer else 0
+        mask_k = self.mask_k
+        top = 2 * (len(superkmer) - k)
+        bucket = self.minimizer_map.get(input_minimizer)
+        if bucket is None:
+            bucket = {}
+            self.minimizer_map[input_minimizer] = bucket
+        j = 0
+        n_occ = len(occ)
+        for i in range(n):
+            while j < n_occ and occ[j] < i:
+                j += 1
+            if j >= n_occ or occ[j] > i + k - m:
                 raise AssertionError(
                     "minimizer not found in k-mer (reference 'PB' trap)")
-            seq = str2num(kmerstr)
-            bucket = self.minimizer_map.get(input_minimizer)
-            if bucket is None:
-                bucket = {}
-                self.minimizer_map[input_minimizer] = bucket
+            seq = (big >> (top - 2 * i)) & mask_k
             info = bucket.get(seq)
             if info is None:
-                bucket[seq] = KmerInfo(1, position_min)
+                bucket[seq] = KmerInfo(1, occ[j] - i)
             else:
                 info.count = (info.count + 1) & 0xFF  # uint8 wrap
 

@@ -66,12 +66,14 @@ class TpuSubsampler(OracleSubsampler):
 
     _sel_cap_guess = 4096
 
-    def _launch_scan(self, ref: str) -> DeviceChain:
+    def _launch_scan(self, ref: bytes) -> DeviceChain:
         """Asynchronously dispatch the device scan + chain walk for one
         sequence (jax dispatch is non-blocking)."""
         k, m = self.k, self.m
         L = len(ref)
-        codes_np = NUC2INT_LUT[np.frombuffer(ref.encode(), dtype=np.uint8)]
+        if isinstance(ref, str):
+            ref = ref.encode()
+        codes_np = NUC2INT_LUT[np.frombuffer(ref, dtype=np.uint8)]
         margin = 2 * (2 * k - m + 2) + 128
         P = padded_size(L, margin)
         codes = np.zeros(P, dtype=np.uint8)
@@ -98,8 +100,11 @@ class TpuSubsampler(OracleSubsampler):
     def sketch_file(self, input_path: str):
         """Like OracleSubsampler.sketch_file but keeps a small window of
         sequences in flight on the device: the scan of record n+1..n+W
-        overlaps with the host assembly of record n."""
+        overlaps with the host assembly of record n, and the compaction
+        fetch (the host link has ~23 ms latency per transfer) runs on a
+        background thread so it overlaps host work too."""
         import collections
+        import concurrent.futures
         import os
 
         from supersampler_tpu.io.fasta import iter_fasta_records
@@ -112,23 +117,34 @@ class TpuSubsampler(OracleSubsampler):
             return None
         window = 4
         pending = collections.deque()
-        for ref_bytes in iter_fasta_records(input_path):
-            ref = ref_bytes.decode()
-            if len(ref) < k:
-                ref = ""
-            else:
-                self.read_kmer += len(ref) - k + 1
-            if ref:
-                if len(pending) >= window:
-                    r, dc = pending.popleft()
-                    self._finish_scan(r, dc)
-                pending.append((ref, self._launch_scan(ref)))
-        while pending:
-            r, dc = pending.popleft()
-            self._finish_scan(r, dc)
+        with concurrent.futures.ThreadPoolExecutor(1) as fetcher:
+            for ref_bytes in iter_fasta_records(input_path):
+                ref = ref_bytes
+                if len(ref) < k:
+                    ref = b""
+                else:
+                    self.read_kmer += len(ref) - k + 1
+                if ref:
+                    if len(pending) >= window:
+                        r, fut = pending.popleft()
+                        self._assemble_from(r, fut.result())
+                    dc = self._launch_scan(ref)
+                    pending.append((ref, fetcher.submit(self._fetch, dc)))
+            while pending:
+                r, fut = pending.popleft()
+                self._assemble_from(r, fut.result())
         self.nb_mmer_selected = (self.nb_mmer_selected
                                  - (self.m - 1)) & MASK64
         return self.serialize()
+
+    @staticmethod
+    def _fetch(dc: DeviceChain):
+        return dc.compact(), dc.n_sel
+
+    def _assemble_from(self, ref: str, fetched) -> None:
+        compact, n_sel = fetched
+        self._assemble_compact(ref, *compact)
+        self._sel_cap_guess = max(4096, 2 * n_sel)
 
     def _assemble_compact(self, ref, sel_pos, sel_last, sel_val, sel_rev,
                           n_ev, last_ev_pos, tail_val, tail_rev, tail_sel):
