@@ -6,13 +6,14 @@
 
 from __future__ import annotations
 
+import io
 import sys
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 from supersampler_tpu.core.scalar import format_g6
-from supersampler_tpu.io.fasta import get_out_name, open_maybe_gzip
+from supersampler_tpu.io.fasta import get_out_name, read_fof
 from supersampler_tpu.sketch import print_stat, subsample_file
 from supersampler_tpu.sketch.pipeline import TpuSubsampler
 
@@ -77,23 +78,33 @@ def main(argv=None) -> int:
         if o["v"]:
             print_stat(ss, sys.stdout)
     else:
-        with open_maybe_gzip(o["f"]) as f:
-            entries = [ln.decode() for ln in f.read().split(b"\n")]
+        # Host-side thread fan-out feeding the single device (the
+        # reference farms fof entries to an OpenMP pool,
+        # SubSampler.cpp:771-798). Host work (FASTA parse/pack, sketch
+        # assembly, gzip) of file n+1 overlaps device work of file n;
+        # per-file output is buffered and emitted in fof order so runs
+        # are deterministic (a valid serialization of the reference's
+        # critical-section interleaving).
+        entries = read_fof(o["f"], min_len=3)
         out_fof_name = get_out_name(o["f"], o["p"]) + ".txt"
-        with open(out_fof_name, "w") as out_fof:
-            def work(path):
-                print(path)
-                out_fof.write(get_out_name(path, o["p"]) + ".gz\n")
-                ss = TpuSubsampler(k=k, m=m, s=s, abundance=o["a"])
-                subsample_file(ss, path, o["p"])
-                if o["v"]:
-                    print_stat(ss, sys.stdout)
 
-            # host-side thread fan-out feeding the single device
-            # (reference uses an OpenMP pool, SubSampler.cpp:771-798)
-            for path in entries:
-                if len(path) > 3:
-                    work(path)
+        def work(path):
+            buf = io.StringIO()
+            print(path, file=buf)
+            ss = TpuSubsampler(k=k, m=m, s=s, abundance=o["a"])
+            ss.log = buf
+            subsample_file(ss, path, o["p"])
+            if o["v"]:
+                print_stat(ss, buf)
+            return buf.getvalue()
+
+        n_threads = max(1, o["t"])
+        with ThreadPoolExecutor(n_threads) as pool:
+            futs = [(path, pool.submit(work, path)) for path in entries]
+            with open(out_fof_name, "w") as out_fof:
+                for path, fut in futs:
+                    out_fof.write(get_out_name(path, o["p"]) + ".gz\n")
+                    sys.stdout.write(fut.result())
     return 0
 
 

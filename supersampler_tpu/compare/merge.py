@@ -53,13 +53,25 @@ class TpuComparator:
         return OracleComparator.getfilesname(fof_path)
 
     def compare_sketches(self, query_size: int) -> None:
-        n = len(self.files_names)
+        # Unopenable sketches print the reference's message and drop out
+        # of the comparison; surviving files take compacted indices
+        # (reference Comparator.cpp:45-51 + utils.cpp:357-364).
+        opened: List[str] = []
+        for path in self.files_names:
+            try:
+                with open(path, "rb"):
+                    pass
+            except OSError:
+                print("Problem with file opening")
+                continue
+            opened.append(path)
+        n = len(opened)
         self.query_size = query_size
         self.nb_files = n
         mins_l, his_l, los_l, fids_l = [], [], [], []
         query_minimizers: Set[int] = set()
         self.nb_kmer_seen_infile = [0] * n
-        for f, path in enumerate(self.files_names):
+        for f, path in enumerate(opened):
             mins, his, los, k, m, bucket_mins = decode_sketch_pairs(path)
             # like get_header_info, the last file's header wins
             self.k, self.m = k, m
@@ -123,13 +135,20 @@ class TpuComparator:
                 pair_keys[key] = pair_keys.get(key, 0) + c
 
     # ------------------------------------------------------------------
+    def _header_names(self) -> List[str]:
+        """The reference prints files_names[0..nb_files) even when a
+        failed open compacted the data indices (Comparator.cpp:365-372
+        never re-syncs names) — replicated verbatim."""
+        n = self.nb_files or len(self.files_names)
+        return self.files_names[:n]
+
     def containment_csv(self) -> str:
-        return matrix_csv(self.files_names, self.score_A,
+        return matrix_csv(self._header_names(), self.score_A,
                           self.nb_kmer_seen_infile, self.query_size,
                           self.precision, self.min_threshold, jaccard=False)
 
     def jaccard_csv(self) -> str:
-        return matrix_csv(self.files_names, self.score_A,
+        return matrix_csv(self._header_names(), self.score_A,
                           self.nb_kmer_seen_infile, self.query_size,
                           self.precision, self.min_threshold, jaccard=True)
 

@@ -64,14 +64,16 @@ def iter_fasta_records(path: str) -> Iterator[bytes]:
         yield clean_dna(body)
 
 
-def read_fof(path: str) -> List[str]:
-    """File-of-files reader. The subsampler keeps lines with size > 3
-    (reference SubSampler.cpp:780); the comparator keeps size > 2
-    (reference Comparator.cpp:17). Use min_len to select."""
+def read_fof(path: str, min_len: int = 3) -> List[str]:
+    """File-of-files reader: keeps lines longer than ``min_len`` chars.
+    The subsampler keeps lines with size > 3 (reference
+    SubSampler.cpp:780); the comparator keeps size > 2 (reference
+    Comparator.cpp:17)."""
     out = []
     with open_maybe_gzip(path) as f:
         for raw in f.read().split(b"\n"):
-            out.append(raw.decode())
+            if len(raw) > min_len:
+                out.append(raw.decode())
     return out
 
 

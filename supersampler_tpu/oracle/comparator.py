@@ -214,7 +214,15 @@ class OracleComparator:
 
     # ------------------------------------------------------------------
     def compare_sketches(self, query_size: int) -> None:
-        cursors = [SketchCursor(p) for p in self.files_names]
+        # Unopenable sketches are skipped with the reference's message
+        # (Comparator.cpp:45-51, utils.cpp:357-364); survivors take
+        # compacted indices.
+        cursors = []
+        for p in self.files_names:
+            try:
+                cursors.append(SketchCursor(p))
+            except OSError:
+                print("Problem with file opening")
         self.query_size = query_size
         self.nb_files = len(cursors)
         self.nb_kmer_seen_infile = [0] * self.nb_files

@@ -77,6 +77,9 @@ class OracleSubsampler:
         # minimizer -> {kmer -> KmerInfo}; dicts preserve insertion order,
         # matching ankerl::unordered_dense iteration (SURVEY.md section 7.3).
         self.minimizer_map: Dict[int, Dict[int, KmerInfo]] = {}
+        # diagnostics stream; fof-mode workers point this at a buffer so
+        # per-file output stays contiguous under the thread fan-out
+        self.log = None
         self._reset_stats()
 
     def _reset_stats(self):
@@ -354,10 +357,13 @@ class OracleSubsampler:
         None (reference utils.cpp:357-364, SubSampler.cpp:311-321)."""
         import os
 
+        import sys
+
         k = self.k
         if not os.path.exists(input_path):
-            print("Problem with file opening")
-            print(f"Can't open file: {input_path}")
+            log = self.log or sys.stdout
+            print("Problem with file opening", file=log)
+            print(f"Can't open file: {input_path}", file=log)
             return None
         for ref_bytes in iter_fasta_records(input_path):
             ref = ref_bytes.decode()

@@ -106,14 +106,16 @@ class TpuSubsampler(OracleSubsampler):
         import collections
         import concurrent.futures
         import os
+        import sys
 
         from supersampler_tpu.io.fasta import iter_fasta_records
         from supersampler_tpu.core.scalar import MASK64
 
         k = self.k
         if not os.path.exists(input_path):
-            print("Problem with file opening")
-            print(f"Can't open file: {input_path}")
+            log = self.log or sys.stdout
+            print("Problem with file opening", file=log)
+            print(f"Can't open file: {input_path}", file=log)
             return None
         window = 4
         pending = collections.deque()

@@ -54,6 +54,69 @@ def test_comparator_cli_parity(goldendir, tmp_path, monkeypatch):
     assert "I found 4 documents" in out
 
 
+def test_sub_sampler_fof_threads_parity(datadir, goldendir, tmp_path,
+                                        monkeypatch):
+    """fof mode with -t 4: same sketch bytes as the golden per-file runs,
+    out-fof and stdout in fof order, unreadable entries isolated."""
+    monkeypatch.chdir(tmp_path)
+    fof = tmp_path / "fof.txt"
+    entries = [datadir[f"fam{i}"] for i in range(4)]
+    entries.insert(2, str(tmp_path / "missing.fa"))  # unreadable entry
+    fof.write_text("\n".join(entries) + "\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_sub_sampler.main(
+            ["-f", str(fof), "-s", "15", "-t", "4", "-p", "g_"])
+    assert rc == 0
+    for i in range(4):
+        ref = open(os.path.join(goldendir, f"gfam_fam{i}.gz"), "rb").read()
+        mine = open(tmp_path / f"g_fam{i}.gz", "rb").read()
+        assert mine == ref, f"fam{i} sketch bytes differ under -t 4"
+    out_fof = open(tmp_path / "g_fof.txt").read().splitlines()
+    assert out_fof == ["g_fam0.gz", "g_fam1.gz", "g_missing.gz",
+                       "g_fam2.gz", "g_fam3.gz"]
+    out = buf.getvalue()
+    # per-file blocks appear in fof order; the missing entry reports
+    # the reference's messages in place
+    idx = [out.index(p) for p in entries]
+    assert idx == sorted(idx)
+    assert "Problem with file opening" in out
+    assert f"Can't open file: {entries[2]}" in out
+
+
+def test_comparator_skips_unopenable(goldendir, tmp_path, monkeypatch):
+    """An unopenable sketch drops out with the reference's message;
+    the others still compare (reference Comparator.cpp:45-51)."""
+    import json
+
+    with open(os.path.join(goldendir, "meta.json")) as f:
+        cfg = json.load(f)["compare"]
+    for f_ in cfg["files"]:
+        os.symlink(os.path.join(goldendir, f_), tmp_path / f_)
+    monkeypatch.chdir(tmp_path)
+    with open("fof_ok.txt", "w") as f:
+        f.write("\n".join(cfg["files"]) + "\n")
+    with open("fof_bad.txt", "w") as f:
+        f.write(cfg["files"][0] + "\nno_such_sketch.gz\n"
+                + "\n".join(cfg["files"][1:]) + "\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_comparator.main(["-f", "fof_bad.txt", "-o", "bad"])
+    assert rc == 0
+    assert "Problem with file opening" in buf.getvalue()
+    with redirect_stdout(io.StringIO()):
+        cli_comparator.main(["-f", "fof_ok.txt", "-o", "ok"])
+    for kind in ("containment", "jaccard"):
+        ok = gzip.open(f"ok_{kind}.csv.gz", "rt").read()
+        bad = gzip.open(f"bad_{kind}.csv.gz", "rt").read()
+        # same scores; the header reproduces the reference's
+        # names/indices misalignment (files_names[0:nb_files])
+        ok_lines = ok.splitlines()
+        bad_lines = bad.splitlines()
+        assert bad_lines[1:] == ok_lines[1:]
+        assert bad_lines[0].split(",")[1] == "no_such_sketch.gz"
+
+
 def test_sub_sampler_usage():
     buf = io.StringIO()
     with redirect_stdout(buf):
