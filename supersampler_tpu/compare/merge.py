@@ -32,11 +32,21 @@ U64 = np.uint64
 
 class TpuComparator:
     """Drop-in equivalent of the reference Comparator
-    (same outputs as oracle.OracleComparator)."""
+    (same outputs as oracle.OracleComparator).
 
-    def __init__(self, precision: int = 6, min_threshold: float = 0.0):
+    engine selects the pairwise-scoring backend once the decoded pairs
+    are grouped: "numpy" enumerates co-occurrence pairs on host;
+    "device" runs the presence-matmul S = P^T P on the accelerator's
+    MXU (parallel/compare_dist.py), optionally sharded over a mesh with
+    a psum merge. Both produce identical score_A.
+    """
+
+    def __init__(self, precision: int = 6, min_threshold: float = 0.0,
+                 engine: str = "numpy", mesh=None):
         self.precision = precision
         self.min_threshold = min_threshold
+        self.engine = engine
+        self.mesh = mesh
         self.files_names: List[str] = []
         self.score_A: Dict[int, int] = {}
         self.nb_kmer_seen_infile: List[int] = []

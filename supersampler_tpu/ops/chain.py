@@ -1,14 +1,12 @@
-"""Device-side event-chain extraction and boundary compaction.
+"""Pointer-doubling event-chain extraction — the walker's TEST ORACLE.
 
-The scan (ops/minimizer.py) leaves successor tables in HBM.  Following
-the chain on the host requires transferring ~22 bytes/position over the
-host link — the dominant cost of the whole pipeline (the device scan
-itself is ~3.5 ms for 4 Mbp while 92 MB of tables take seconds on a
-~40 MB/s link).  Instead we extract the chain *on device* with pointer
-doubling (gathers are fast on TPU HBM) and ship only the compact list
-of FHS-*selected* super-k-mer boundaries — typically a few hundred
-entries — plus a handful of scalars for the tail flush and the
-aggregate counters.
+This is the O(log n)-rounds chain extractor that preceded the serial
+Pallas walker (ops/walker.py). The walker is ~43x faster on TPU (full
+random gathers per doubling round vs a serial SMEM chase), so the
+product pipeline uses the walker exclusively; this module is kept as an
+independently-derived implementation of the same chain semantics that
+tests/test_walker.py checks the walker against (two very different
+algorithms agreeing on fuzzed inputs).
 
 Reference semantics replayed here: the super-k-mer boundary loop of
 Subsampler::parse_fasta_test (reference SubSampler.cpp:401-454).

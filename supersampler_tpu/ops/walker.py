@@ -51,7 +51,9 @@ _BP = _ROWS * _COLS   # positions per grid step
 
 def pack_succ(t: ScanTables, n_pad: int) -> jnp.ndarray:
     """Pack both successor tables + sel bits into one int32 per position,
-    zero-padded to n_pad (delta 0 = chain ends)."""
+    zero-padded (delta 0 = chain ends) or truncated to n_pad. Truncation
+    is the tiled path: positions >= n_pad belong to the next tile's
+    tables; successor targets may still point past n_pad (the carry)."""
     n = t.nxt_pos_a.shape[0]
     j = jnp.arange(n, dtype=_I32)
     da = jnp.where(t.nxt_pos_a >= 0, t.nxt_pos_a - j, 0)
@@ -60,13 +62,21 @@ def pack_succ(t: ScanTables, n_pad: int) -> jnp.ndarray:
     tr = jnp.where(t.nxt_adopt_r, 0, 1)
     w = (da | (ta << 6) | (dr << 7) | (tr << 13)
          | (t.sel_a.astype(_I32) << 14) | (t.sel_r.astype(_I32) << 15))
-    return jnp.concatenate(
-        [w, jnp.zeros((n_pad - n,), _I32)]) if n_pad > n else w
+    if n_pad > n:
+        return jnp.concatenate([w, jnp.zeros((n_pad - n,), _I32)])
+    return w[:n_pad]
 
 
 def _walk_kernel(init_ref, packed_ref, ei_ref, el_ref, es_ref, cnt_ref,
                  scal_ref, st):
     """One grid step: chase the chain through this block of positions.
+
+    init_ref (SMEM, 5 int32): the entering chain state — for the first
+    tile of a sequence [init_nxt_pos, init_nxt_typ, init_sel, -1, 0]
+    (virtual initial event); for subsequent tiles the previous tile's
+    carry re-based to this tile's local coordinates (cur_pos negative =
+    current super-k-mer started in an earlier tile; its payload is the
+    fallback triple handled at compaction).
 
     st (SMEM scratch, persists across sequential grid steps):
       [0] cur_pos  [1] cur_typ  [2] cur_sel  [3] nxt_pos  [4] nxt_typ
@@ -78,11 +88,11 @@ def _walk_kernel(init_ref, packed_ref, ei_ref, el_ref, es_ref, cnt_ref,
 
     @pl.when(b == 0)
     def _():
-        st[0] = -1              # virtual initial event (payload = init_*)
-        st[1] = 0
-        st[2] = init_ref[2]     # init payload's sel bit
-        st[3] = init_ref[0]     # first event position (-1 = none)
-        st[4] = init_ref[1]     # first event type
+        st[0] = init_ref[3]     # current event position (<0 = virtual)
+        st[1] = init_ref[4]     # current event type
+        st[2] = init_ref[2]     # current payload's sel bit
+        st[3] = init_ref[0]     # next event position (-1 = none)
+        st[4] = init_ref[1]     # next event type
         st[5] = 0
 
     # chain state rides in loop-carry registers; SMEM only at block edges
@@ -123,20 +133,34 @@ def _walk_kernel(init_ref, packed_ref, ei_ref, el_ref, es_ref, cnt_ref,
     st[5] = n_ev
     cnt_ref[jax.lax.rem(b, 8), 0] = cnt
     # running final-state snapshot; the last grid step's write wins
-    scal_ref[0, 0] = n_ev     # n_ev
-    scal_ref[0, 1] = cur_pos  # last event position (-1 if no events)
+    scal_ref[0, 0] = n_ev     # n_ev in this walk
+    scal_ref[0, 1] = cur_pos  # last event position (<0 if none here)
     scal_ref[0, 2] = cur_typ  # last event type
     scal_ref[0, 3] = cur_sel  # tail payload sel
+    scal_ref[0, 4] = npos     # next event beyond this walk (tile carry)
+    scal_ref[0, 5] = ntyp
 
 
-def walk_pallas(packed: jnp.ndarray, init_nxt_pos, init_nxt_typ, init_sel,
+def make_init5(init_nxt_pos, init_nxt_typ, init_sel,
+               cur_pos=-1, cur_typ=0) -> jnp.ndarray:
+    """Entering chain state for a walk (see _walk_kernel)."""
+    return jnp.stack([
+        jnp.asarray(init_nxt_pos, _I32).reshape(()),
+        jnp.asarray(init_nxt_typ, _I32).reshape(()),
+        jnp.asarray(init_sel, _I32).reshape(()),
+        jnp.asarray(cur_pos, _I32).reshape(()),
+        jnp.asarray(cur_typ, _I32).reshape(()),
+    ])
+
+
+def walk_pallas(packed: jnp.ndarray, init5: jnp.ndarray,
                 interpret: bool | None = None):
     """Run the chain walk. packed: int32[n_pad], n_pad % _BP == 0.
 
     Returns emit tiles (n_blocks, _ROWS, _COLS) int32 for (boundary
     position, last_position, source state) — rows beyond cnt[b] are
     garbage — plus cnt (n_blocks,) int32 and scal int32
-    [n_ev, last_pos, last_typ, tail_sel].
+    [n_ev, last_pos, last_typ, tail_sel, nxt_pos, nxt_typ].
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -145,11 +169,7 @@ def walk_pallas(packed: jnp.ndarray, init_nxt_pos, init_nxt_typ, init_sel,
     n_blocks = n_pad // _BP
     cnt_rows = ((n_blocks + 7) // 8) * 8
 
-    init = jnp.stack([
-        jnp.asarray(init_nxt_pos, _I32).reshape(()),
-        jnp.asarray(init_nxt_typ, _I32).reshape(()),
-        jnp.asarray(init_sel, _I32).reshape(()),
-    ])
+    init = init5
 
     out_shapes = (
         jax.ShapeDtypeStruct((n_blocks * _ROWS, _COLS), _I32),  # emit_i
@@ -182,10 +202,10 @@ def walk_pallas(packed: jnp.ndarray, init_nxt_pos, init_nxt_typ, init_sel,
     )(init, packed.reshape(n_blocks * _ROWS, _COLS))
     shape3 = (n_blocks, _ROWS * _COLS)
     return (ei.reshape(shape3), el.reshape(shape3), es.reshape(shape3),
-            cnt.reshape(-1)[: n_blocks * 128 : 128], scal[0, :4])
+            cnt.reshape(-1)[: n_blocks * 128 : 128], scal[0, :6])
 
 
-def walk_xla(packed: jnp.ndarray, init_nxt_pos, init_nxt_typ, init_sel):
+def walk_xla(packed: jnp.ndarray, init5: jnp.ndarray):
     """Serial chain walk as a single lax.while_loop — the non-TPU
     fallback (XLA CPU runs the loop at native speed; Pallas interpret
     mode costs a Python dispatch per step). Identical emit semantics to
@@ -194,7 +214,7 @@ def walk_xla(packed: jnp.ndarray, init_nxt_pos, init_nxt_typ, init_sel):
     ei0 = jnp.full((n_pad,), -1, _I32)
 
     def cond(c):
-        return c[3] >= 0
+        return (c[3] >= 0) & (c[3] < n_pad)
 
     def body(c):
         cur_pos, cur_typ, cur_sel, npos, ntyp, n_ev, cnt, ei, el, es = c
@@ -212,55 +232,59 @@ def walk_xla(packed: jnp.ndarray, init_nxt_pos, init_nxt_typ, init_sel):
                 jnp.where(delta > 0, npos + delta, -1), ntyp2,
                 n_ev + 1, cnt + emit.astype(_I32), ei, el, es)
 
-    init = (jnp.int32(-1), jnp.int32(0),
-            jnp.asarray(init_sel, _I32).reshape(()),
-            jnp.asarray(init_nxt_pos, _I32).reshape(()),
-            jnp.asarray(init_nxt_typ, _I32).reshape(()),
+    init = (init5[3], init5[4], init5[2], init5[0], init5[1],
             jnp.int32(0), jnp.int32(0), ei0, ei0, ei0)
-    (cur_pos, cur_typ, cur_sel, _np_, _nt, n_ev, cnt, ei, el,
+    (cur_pos, cur_typ, cur_sel, npos, ntyp, n_ev, cnt, ei, el,
      es) = jax.lax.while_loop(cond, body, init)
-    scal = jnp.stack([n_ev, cur_pos, cur_typ, cur_sel])
+    scal = jnp.stack([n_ev, cur_pos, cur_typ, cur_sel, npos, ntyp])
     return (ei.reshape(1, n_pad), el.reshape(1, n_pad),
             es.reshape(1, n_pad), cnt.reshape(1), scal)
 
 
-def _walk_from_tables(t: ScanTables, n_pad: int, interpret: bool | None):
+def _walk_from_tables(t: ScanTables, init5, n_pad: int,
+                      interpret: bool | None):
     packed = pack_succ(t, n_pad)
-    init_typ = jnp.where(t.init_nxt_adopt, 0, 1)
     if jax.default_backend() == "tpu":
-        ei, el, es, cnt, scal = walk_pallas(
-            packed, t.init_nxt_pos, init_typ, t.init_sel.astype(_I32),
-            interpret=interpret)
+        ei, el, es, cnt, scal = walk_pallas(packed, init5,
+                                            interpret=interpret)
     else:
-        ei, el, es, cnt, scal = walk_xla(
-            packed, t.init_nxt_pos, init_typ, t.init_sel.astype(_I32))
+        ei, el, es, cnt, scal = walk_xla(packed, init5)
     n_sel = jnp.sum(cnt).astype(_I32)
     return ei, el, es, cnt, scal, n_sel
 
 
-def _compact_packed(ei, el, es, cnt, scal, t: ScanTables, sel_cap: int):
+def _compact_packed(ei, el, es, cnt, scal, t: ScanTables, sel_cap: int,
+                    fb_val, fb_rev):
     """Single-transfer variant of _compact_emits: one int32 array
-    [n_sel, n_ev, last_pos, tail_val, tail_rev, tail_sel,
-     pos[cap], last[cap], val[cap], rev[cap]].
+    [n_sel, n_ev, last_pos, tail_val, tail_rev, tail_sel, nxt_pos,
+     nxt_typ, pos[cap], last[cap], val[cap], rev[cap]].
 
     The host link has ~23 ms latency per fetch regardless of size, so
-    everything the host needs per sequence rides one array.
+    everything the host needs per walk rides one array.
     """
     (pos, last, val, rev, n_sel, n_ev, last_pos, tail_val, tail_rev,
-     tail_sel) = _compact_emits(ei, el, es, cnt, scal, t, sel_cap)
+     tail_sel) = _compact_emits(ei, el, es, cnt, scal, t, sel_cap,
+                                fb_val, fb_rev)
     head = jnp.stack([
         n_sel.astype(_I32), n_ev.astype(_I32), last_pos.astype(_I32),
         jax.lax.bitcast_convert_type(tail_val, _I32).reshape(()),
         tail_rev.astype(_I32), tail_sel.astype(_I32),
+        scal[4], scal[5],
     ])
     return jnp.concatenate([
         head, pos, last, jax.lax.bitcast_convert_type(val, _I32),
         rev.astype(_I32)])
 
 
-def _compact_emits(ei, el, es, cnt, scal, t: ScanTables, sel_cap: int):
+def _compact_emits(ei, el, es, cnt, scal, t: ScanTables, sel_cap: int,
+                   fb_val, fb_rev):
     """Flatten the per-block emit tiles into sel_cap slots and gather the
-    minimizer payloads (value/strand) of each selected boundary + tail."""
+    minimizer payloads (value/strand) of each selected boundary + tail.
+
+    (fb_val, fb_rev) is the payload of super-k-mers whose opening event
+    precedes this walk (src < 0): the scan's initial election for the
+    first tile of a sequence, the carried payload for later tiles.
+    """
     n_blocks, bp = ei.shape
     cum = jnp.cumsum(cnt)
     n_sel = cum[-1]
@@ -275,18 +299,21 @@ def _compact_emits(ei, el, es, cnt, scal, t: ScanTables, sel_cap: int):
     last = jnp.where(ok, el.reshape(-1)[flat_idx], -1)
     src = jnp.where(ok, es.reshape(-1)[flat_idx], -1)
 
+    fb_val = jnp.asarray(fb_val, jnp.uint32).reshape(())
+    fb_rev = jnp.asarray(fb_rev, bool).reshape(())
+
     def payload(src_state):
         p = jnp.clip(src_state >> 1, 0, t.val_a.shape[0] - 1)
         is_a = (src_state & 1) == 0
-        val = jnp.where(src_state < 0, t.init_val.astype(jnp.uint32),
+        val = jnp.where(src_state < 0, fb_val,
                         jnp.where(is_a, t.val_a[p], t.val_r[p]))
-        rev = jnp.where(src_state < 0, t.init_rev,
+        rev = jnp.where(src_state < 0, fb_rev,
                         jnp.where(is_a, t.rev_a[p], t.rev_r[p]))
         return val, rev
 
     val, rev = payload(src)
-    # tail payload: the last event's (or init's when no events)
-    tail_src = jnp.where(scal[0] > 0, 2 * scal[1] + scal[2], -1)
+    # tail payload: the last event's in this walk (or the fallback)
+    tail_src = jnp.where(scal[1] >= 0, 2 * scal[1] + scal[2], -1)
     tail_val, tail_rev = payload(tail_src.reshape(1))
     return (pos, last, val, rev, n_sel, scal[0], scal[1],
             tail_val[0], tail_rev[0], scal[3])
@@ -296,9 +323,43 @@ _compact_jit = jax.jit(_compact_emits, static_argnums=(6,))
 _compact_packed_jit = jax.jit(_compact_packed, static_argnums=(6,))
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _walk_jit(t: ScanTables, n_pad: int):
-    return _walk_from_tables(t, n_pad, interpret=None)
+@functools.partial(jax.jit, static_argnums=(2,))
+def _walk_jit(t: ScanTables, init5, n_pad: int):
+    return _walk_from_tables(t, init5, n_pad, interpret=None)
+
+
+@jax.jit
+def _init5_from_tables(t: ScanTables):
+    """Entering state for the first walk of a sequence: the scan's
+    initial election (reference SubSampler.cpp:359-365)."""
+    return make_init5(t.init_nxt_pos, jnp.where(t.init_nxt_adopt, 0, 1),
+                      t.init_sel.astype(_I32))
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _carry_next(scal, t: ScanTables, fb, own: int):
+    """Re-base a walk's final state into the NEXT tile's local
+    coordinates and resolve the carried payload by value.
+
+    fb: [val(i32 bitcast), rev] fallback payload entering this walk.
+    Returns (init5_next, fb_next[2]) — all device-side; chaining tiles
+    never syncs the host.
+    """
+    n_ev, cur_pos, cur_typ, cur_sel, npos, ntyp = (
+        scal[0], scal[1], scal[2], scal[3], scal[4], scal[5])
+    p = jnp.clip(cur_pos, 0, t.val_a.shape[0] - 1)
+    is_a = cur_typ == 0
+    val = jnp.where(cur_pos < 0,
+                    jax.lax.bitcast_convert_type(fb[0], jnp.uint32),
+                    jnp.where(is_a, t.val_a[p], t.val_r[p]))
+    rev = jnp.where(cur_pos < 0, fb[1].astype(bool),
+                    jnp.where(is_a, t.rev_a[p], t.rev_r[p]))
+    init5 = make_init5(jnp.where(npos >= 0, npos - own, -1), ntyp,
+                       cur_sel, cur_pos - own, cur_typ)
+    fb_next = jnp.stack([
+        jax.lax.bitcast_convert_type(val, _I32).reshape(()),
+        rev.astype(_I32).reshape(())])
+    return init5, fb_next
 
 
 def _pow2_ge(n: int) -> int:
@@ -308,40 +369,82 @@ def _pow2_ge(n: int) -> int:
     return p
 
 
+def _fb_from_tables(t: ScanTables):
+    """Fallback payload for a sequence's first walk: the initial
+    election's (value, strand)."""
+    return jnp.stack([
+        jax.lax.bitcast_convert_type(
+            t.init_val.astype(jnp.uint32), _I32).reshape(()),
+        t.init_rev.astype(_I32).reshape(())])
+
+
+_fb_jit = jax.jit(_fb_from_tables)
+
+
 class DeviceChain:
-    """Device-side walk + speculative compaction for one sequence.
+    """Device-side walk + speculative compaction for one walk region.
 
     Everything is dispatched asynchronously at construction; `compact`
     performs exactly ONE host fetch (the link costs ~23 ms per fetch
     independent of size), re-dispatching only if the speculative
-    capacity guess was exceeded."""
+    capacity guess was exceeded.
 
-    def __init__(self, t: ScanTables, sel_cap_guess: int = 4096):
-        n = int(t.nxt_pos_a.shape[0])
-        n_pad = ((n + _BP - 1) // _BP) * _BP
+    For a single-tile sequence, ``DeviceChain(t)`` walks the whole
+    table from the scan's initial election. For the tiled path, pass
+    the entering state explicitly: ``init5``/``fb`` from the previous
+    tile's ``carry`` and ``n_pad`` = the owned region size.
+    """
+
+    def __init__(self, t: ScanTables, sel_cap_guess: int = 4096,
+                 init5=None, fb=None, n_pad: int | None = None):
+        if n_pad is None:
+            n = int(t.nxt_pos_a.shape[0])
+            n_pad = ((n + _BP - 1) // _BP) * _BP
+        if init5 is None:
+            init5 = _init5_from_tables(t)
+        if fb is None:
+            fb = _fb_jit(t)
         self._t = t
+        self._fb = fb
+        self._n_pad = n_pad
         (self.ei, self.el, self.es, self.cnt, self.scal,
-         self._n_sel_dev) = _walk_jit(t, n_pad)
+         self._n_sel_dev) = _walk_jit(t, init5, n_pad)
         self._cap = _pow2_ge(sel_cap_guess)
         self._packed = _compact_packed_jit(
-            self.ei, self.el, self.es, self.cnt, self.scal, t, self._cap)
+            self.ei, self.el, self.es, self.cnt, self.scal, t, self._cap,
+            jax.lax.bitcast_convert_type(fb[0], jnp.uint32), fb[1] != 0)
+
+    def carry(self, own: int):
+        """(init5, fb) for the next tile's walk (device arrays; no host
+        sync)."""
+        return _carry_next(self.scal, self._t, self._fb, own)
+
+    def start_fetch(self):
+        """Begin the device->host copy of the compact array without
+        blocking (overlaps the link latency with later dispatches)."""
+        try:
+            self._packed.copy_to_host_async()
+        except AttributeError:
+            pass
 
     def compact(self):
         """Fetch (sel_pos, sel_last, sel_val, sel_rev, n_ev, last_ev_pos,
-        tail_val, tail_rev, tail_sel) — same contract as
-        chain.compact_from_stage1. Also sets self.n_sel for adaptive
-        capacity guessing by the caller."""
+        tail_val, tail_rev, tail_sel). Positions are local to this
+        walk's coordinates (the tiled caller re-bases). Also sets
+        self.n_sel for adaptive capacity guessing by the caller."""
         arr = jax.device_get(self._packed)
         n_sel = int(arr[0])
         if n_sel > self._cap:
             self._cap = _pow2_ge(n_sel)
             self._packed = _compact_packed_jit(
                 self.ei, self.el, self.es, self.cnt, self.scal, self._t,
-                self._cap)
+                self._cap,
+                jax.lax.bitcast_convert_type(self._fb[0], jnp.uint32),
+                self._fb[1] != 0)
             arr = jax.device_get(self._packed)
         self.n_sel = n_sel
         cap = self._cap
-        body = arr[6:]
+        body = arr[8:]
         sel_pos = body[:n_sel].astype(np.int64)
         sel_last = body[cap : cap + n_sel].astype(np.int64)
         sel_val = body[2 * cap : 2 * cap + n_sel].view(np.uint32)

@@ -27,7 +27,15 @@ from supersampler_tpu.ops.minimizer import (pack_2bit_np, scan_tables_2d,
 from supersampler_tpu.ops.walker import DeviceChain
 from supersampler_tpu.oracle.subsampler import OracleSubsampler
 
-_PAD_BUCKETS = [1 << b for b in range(10, 31)]
+# Tiled-scan geometry: sequences longer than one tile stream through
+# fixed (OWN + EXTRA)-sized scans whose walks chain via a device-side
+# carry — O(tile) memory for any length, like the reference's O(1)-state
+# streaming loop (reference SubSampler.cpp:367-440).
+_TILE_OWN = 1 << 22       # loop positions owned per tile (4 Mbp)
+_TILE_EXTRA = 512         # lookahead suffix; >= margin for k <= 63
+_TILE_P = _TILE_OWN + _TILE_EXTRA
+
+_PAD_BUCKETS = [1 << b for b in range(10, 23)]
 
 device_scan_2d = jax.jit(scan_tables_2d, static_argnums=(1, 2, 3, 6))
 device_scan_2d_packed = jax.jit(scan_tables_2d_packed,
@@ -49,12 +57,110 @@ def _scan_chain_packed(packed, k: int, m: int, P: int, length, thr_hi,
 
 
 def padded_size(n: int, margin: int = 128) -> int:
-    """Power-of-two padding with room for the 2D layout's halo
-    (k + W lookahead columns wrap across rows)."""
+    """Power-of-two padding (single-tile path) with room for the 2D
+    layout's halo (k + W lookahead columns wrap across rows). Sequences
+    that don't fit one tile go through TiledDeviceChain instead."""
     for b in _PAD_BUCKETS:
         if n + margin <= b:
             return b
-    raise ValueError(f"sequence too long: {n}")
+    raise ValueError(f"not a single-tile sequence: {n}")
+
+
+class TiledDeviceChain:
+    """Scan + walk of one long sequence as a pipeline of fixed tiles.
+
+    Tile t owns loop positions [t*OWN, (t+1)*OWN) and scans
+    OWN + EXTRA positions (the suffix covers every lookahead a
+    successor-table entry of an owned position can make). Walks chain
+    through a device-side carry — the next-event pointer and the open
+    super-k-mer's payload re-based to the next tile's coordinates
+    (ops/walker.py carry/make_init5) — so the host never syncs between
+    tiles; compact fetches stream back `window` tiles behind the
+    dispatch front, bounding device memory.
+    """
+
+    def __init__(self, packed_slab: np.ndarray, n_tiles: int, k: int,
+                 m: int, length: int, threshold: int,
+                 sel_cap_guess: int = 4096, select_all: bool = False,
+                 window: int = 3, own: int = _TILE_OWN,
+                 extra: int = _TILE_EXTRA):
+        self._packed_slab = packed_slab
+        self._n_tiles = n_tiles
+        self._k, self._m = k, m
+        self._L = length
+        self._own = own           # must be a multiple of the walker _BP
+        self._tile_p = own + extra
+        self._thr = (jnp.uint32(threshold >> 32),
+                     jnp.uint32(threshold & 0xFFFFFFFF))
+        self._guess = sel_cap_guess
+        self._select_all = select_all
+        self._window = window
+        self._parts = []          # fetched per-tile compact tuples
+        self._pending = []        # dispatched, unfetched DeviceChains
+        self._next_tile = 0
+        self._carry = None        # (init5, fb) device arrays
+        # prime the pipeline without blocking: dispatch `window` tiles
+        for _ in range(min(window, n_tiles)):
+            self._dispatch_one()
+
+    def _dispatch_one(self):
+        t = self._next_tile
+        self._next_tile += 1
+        own = self._own
+        b0 = (t * own) >> 2
+        packed = jnp.asarray(
+            self._packed_slab[b0 : b0 + (self._tile_p >> 2)])
+        tables = device_scan_2d_packed(
+            packed, self._k, self._m, self._tile_p,
+            jnp.int32(self._L - t * own), U.U64(*self._thr))
+        guess = own if self._select_all else self._guess
+        if self._carry is None:
+            dc = DeviceChain(tables, sel_cap_guess=guess, n_pad=own)
+        else:
+            init5, fb = self._carry
+            dc = DeviceChain(tables, sel_cap_guess=guess, init5=init5,
+                             fb=fb, n_pad=own)
+        self._carry = dc.carry(own)
+        dc.start_fetch()
+        self._pending.append((t, dc))
+
+    def _fetch_one(self):
+        t, dc = self._pending.pop(0)
+        comp = dc.compact()
+        if not self._select_all:
+            self._guess = max(4096, 2 * dc.n_sel)
+        self._parts.append((t, comp))
+
+    def compact(self):
+        """Drive the tile pipeline to completion and merge the per-tile
+        compacts into one sequence-level tuple (same contract as
+        DeviceChain.compact, with global positions)."""
+        while self._next_tile < self._n_tiles:
+            if len(self._pending) >= self._window:
+                self._fetch_one()
+            self._dispatch_one()
+        while self._pending:
+            self._fetch_one()
+
+        pos_l, last_l, val_l, rev_l = [], [], [], []
+        n_ev = 0
+        tail = (0, False, False)
+        last_ev_pos = -1
+        for t, comp in self._parts:
+            (sp, sl, sv, sr, ev_t, last_pos_t, tv, tr, ts) = comp
+            base = t * self._own
+            pos_l.append(sp + base)
+            last_l.append(sl + base)
+            val_l.append(sv)
+            rev_l.append(sr)
+            n_ev += ev_t
+            if t == self._n_tiles - 1:
+                tail = (tv, tr, ts)
+                last_ev_pos = last_pos_t + base
+        self.n_sel = sum(a.size for a in pos_l)
+        return (np.concatenate(pos_l), np.concatenate(last_l),
+                np.concatenate(val_l), np.concatenate(rev_l), n_ev,
+                last_ev_pos, tail[0], tail[1], tail[2])
 
 
 class TpuSubsampler(OracleSubsampler):
@@ -65,29 +171,44 @@ class TpuSubsampler(OracleSubsampler):
     """
 
     _sel_cap_guess = 4096
+    # tile geometry (class-level so tests can shrink it to exercise the
+    # multi-tile carry path on small inputs)
+    _tile_own = _TILE_OWN
+    _tile_extra = _TILE_EXTRA
 
-    def _launch_scan(self, ref: bytes) -> DeviceChain:
+    def _launch_scan(self, ref: bytes):
         """Asynchronously dispatch the device scan + chain walk for one
-        sequence (jax dispatch is non-blocking)."""
+        sequence (jax dispatch is non-blocking). Sequences that fit one
+        tile take the single-dispatch path; longer ones stream through
+        TiledDeviceChain with O(tile) memory."""
         k, m = self.k, self.m
         L = len(ref)
         if isinstance(ref, str):
             ref = ref.encode()
         codes_np = NUC2INT_LUT[np.frombuffer(ref, dtype=np.uint8)]
         margin = 2 * (2 * k - m + 2) + 128
-        P = padded_size(L, margin)
-        codes = np.zeros(P, dtype=np.uint8)
-        codes[:L] = codes_np
         thr = self.threshold
-        if self.s <= 1:
-            # select-all: every boundary is selected; skip speculation
-            guess = P
-        else:
-            guess = self._sel_cap_guess
-        return _scan_chain_packed(
-            jnp.asarray(pack_2bit_np(codes)), k, m, P, jnp.int32(L),
-            jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF),
-            sel_cap_guess=guess)
+        if L + margin <= self._tile_own:
+            P = padded_size(L, margin)
+            codes = np.zeros(P, dtype=np.uint8)
+            codes[:L] = codes_np
+            if self.s <= 1:
+                # select-all: every boundary selected; skip speculation
+                guess = P
+            else:
+                guess = self._sel_cap_guess
+            return _scan_chain_packed(
+                jnp.asarray(pack_2bit_np(codes)), k, m, P, jnp.int32(L),
+                jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF),
+                sel_cap_guess=guess)
+        own = self._tile_own
+        n_tiles = max(1, -(-(L - k) // own))
+        slab = np.zeros(n_tiles * own + self._tile_extra, dtype=np.uint8)
+        slab[:L] = codes_np
+        return TiledDeviceChain(
+            pack_2bit_np(slab), n_tiles, k, m, L, thr,
+            sel_cap_guess=self._sel_cap_guess,
+            select_all=self.s <= 1, own=own, extra=self._tile_extra)
 
     def _finish_scan(self, ref: str, dc: DeviceChain) -> None:
         self._assemble_compact(ref, *dc.compact())

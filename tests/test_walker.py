@@ -15,8 +15,9 @@ from supersampler_tpu.core.scalar import compute_threshold
 from supersampler_tpu.ops import u64 as U
 from supersampler_tpu.ops.chain import compact_chain
 from supersampler_tpu.ops.minimizer import scan_tables_2d
-from supersampler_tpu.ops.walker import (DeviceChain, pack_succ,
-                                         walk_pallas, walk_xla, _BP)
+from supersampler_tpu.ops.walker import (DeviceChain, make_init5,
+                                         pack_succ, walk_pallas,
+                                         walk_xla, _BP, _init5_from_tables)
 
 
 def _tables(L, s, seed, k=31, m=11):
@@ -65,8 +66,7 @@ def test_pallas_kernel_matches_xla_walk():
     n = int(t.nxt_pos_a.shape[0])
     n_pad = ((n + _BP - 1) // _BP) * _BP
     packed = pack_succ(t, n_pad)
-    init_typ = jnp.where(t.init_nxt_adopt, 0, 1)
-    args = (packed, t.init_nxt_pos, init_typ, t.init_sel.astype(jnp.int32))
+    args = (packed, _init5_from_tables(t))
     pe = walk_pallas(*args, interpret=False)
     xe = walk_xla(*args)
     # same per-block counts / scalars and the same emitted rows
