@@ -5,6 +5,7 @@
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -18,6 +19,29 @@ Ouput arguments:
 -p Required precision to be output in the CSV (6)
 -o output prefix (results)
 """
+
+
+def pick_engine() -> str:
+    """Scoring backend: SPSP_COMPARE_ENGINE=device|numpy|auto.
+
+    auto uses the accelerator when a JAX backend is (or can cheaply be)
+    live; a remote-tunnel platform ("axon") is only attempted when the
+    caller opts in explicitly — a dead tunnel blocks for minutes before
+    raising, which a CLI must not do by default.
+    """
+    e = os.environ.get("SPSP_COMPARE_ENGINE", "auto")
+    if e != "auto":
+        return e
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat in ("cpu", "", "tpu"):
+        try:
+            import jax
+
+            jax.devices()
+            return "device"
+        except Exception:
+            return "numpy"
+    return "numpy"
 
 
 def parse_args(argv):
@@ -40,9 +64,11 @@ def main(argv=None) -> int:
     if not o["f"]:
         print(USAGE, end="")
         return 0
+    engine = pick_engine()
     if not o["q"]:
         print("No query file, I will perform a all versus all comparison")
-        comp = TpuComparator(precision=o["p"], min_threshold=o["m"])
+        comp = TpuComparator(precision=o["p"], min_threshold=o["m"],
+                             engine=engine)
         comp.files_names = TpuComparator.getfilesname(o["f"])
         print(f"I found {len(comp.files_names)} documents")
         start = time.time()
@@ -57,7 +83,8 @@ def main(argv=None) -> int:
         comp.write_outputs(o["o"])
         print(f"Jaccard output lasted {time.time() - mid} sec")
     else:
-        comp = TpuComparator(precision=o["p"], min_threshold=o["m"])
+        comp = TpuComparator(precision=o["p"], min_threshold=o["m"],
+                             engine=engine)
         comp.files_names = TpuComparator.getfilesname(o["q"])
         query_size = len(comp.files_names)
         print(f"I query {query_size} file(s) against the bank")

@@ -113,6 +113,19 @@ class TpuComparator:
         new_group[1:] = ((mins[1:] != mins[:-1]) | (his[1:] != his[:-1])
                          | (los[1:] != los[:-1]))
         gid = np.cumsum(new_group) - 1
+
+        if self.engine == "device":
+            from supersampler_tpu.parallel.compare_dist import (
+                score_matrix_device, scores_to_dict)
+
+            n_groups = int(gid[-1]) + 1
+            score = score_matrix_device(
+                gid.astype(np.int32), fids.astype(np.int32), n_groups, n,
+                mesh=self.mesh)
+            for key, v in scores_to_dict(score, query_size).items():
+                self.score_A[key] = self.score_A.get(key, 0) + v
+            return
+
         counts = np.bincount(gid)
         # only groups with >= 2 files contribute scores
         big = counts >= 2

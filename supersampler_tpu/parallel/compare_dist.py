@@ -101,7 +101,7 @@ def score_matrix_device(gids: np.ndarray, fids: np.ndarray, n_groups: int,
     if mesh is None or n_dev == 1:
         score = np.asarray(accumulate(jnp.asarray(chunks)))
     else:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         @functools.partial(
             shard_map, mesh=mesh,

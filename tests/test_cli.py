@@ -117,6 +117,33 @@ def test_comparator_skips_unopenable(goldendir, tmp_path, monkeypatch):
         assert bad_lines[0].split(",")[1] == "no_such_sketch.gz"
 
 
+def test_comparator_engines_agree(goldendir, tmp_path, monkeypatch):
+    """The MXU presence-matmul engine and the numpy group enumeration
+    produce identical CSVs, all-vs-all and N-vs-all (the CLI golden test
+    already runs the device engine against golden bytes)."""
+    import json
+
+    from supersampler_tpu.compare.merge import TpuComparator
+
+    with open(os.path.join(goldendir, "meta.json")) as f:
+        cfg = json.load(f)["compare"]
+    files = [os.path.join(goldendir, f_) for f_ in cfg["files"]]
+    outs = {}
+    for engine in ("numpy", "device"):
+        comp = TpuComparator(engine=engine)
+        comp.files_names = list(files)
+        comp.compare_sketches(len(files))
+        outs[engine] = (comp.containment_csv(), comp.jaccard_csv(),
+                        comp.score_A)
+        qcomp = TpuComparator(engine=engine, precision=3)
+        qcomp.files_names = (
+            [os.path.join(goldendir, f_) for f_ in cfg["query_files"]]
+            + [os.path.join(goldendir, f_) for f_ in cfg["bank_files"]])
+        qcomp.compare_sketches(len(cfg["query_files"]))
+        outs[engine] += (qcomp.containment_csv(), qcomp.jaccard_csv())
+    assert outs["numpy"] == outs["device"]
+
+
 def test_sub_sampler_usage():
     buf = io.StringIO()
     with redirect_stdout(buf):
