@@ -1,8 +1,8 @@
-"""Benchmark: sketch-construction throughput on the TPU device path.
+"""Benchmark: sketch-construction + comparison throughput on the TPU.
 
 Prints ONE JSON line:
   {"metric": "sketch_throughput", "value": <Mbases/s>, "unit":
-   "Mbases/s", "vs_baseline": <ratio vs 8-thread CPU reference>}
+   "Mbases/s", "vs_baseline": <ratio vs 8-thread CPU reference>, ...}
 
 Baseline: the reference sub_sampler (g++ -Ofast, makefile flags) was
 measured on this project's dev machine at 34.2 Mbases/s per core with
@@ -11,21 +11,33 @@ BASELINE.md north-star compares against an 8-thread CPU run,
 extrapolated linearly (the reference's OpenMP fan-out is
 embarrassingly parallel across files): 8 x 34.2 = 273.6 Mbases/s.
 
-Measurement notes for this TPU pod-slice tunnel:
-  * jax.block_until_ready does NOT reliably block on the axon
-    platform, so timings are forced by an actual result fetch;
-  * the host link costs ~23 ms latency per device->host fetch and
-    ~100 MB/s host->device, so two numbers are reported:
-      - device_path: N records' scan+walk+compact enqueued back-to-back,
-        wall-clocked to the final record's result fetch (the device
-        executes its queue in order) — the per-chip sketching rate;
-      - end_to_end: TpuSubsampler.sketch_file wall time including FASTA
-        parsing, host link transfers, host assembly and serialization.
-The headline value is the end-to-end rate (everything included).
+Three sketching rates are reported (median over TRIALS, with spread =
+(max-min)/median so run-to-run noise is visible in the record):
+
+  * kernel: DATA-RESIDENT on-chip rate — packed inputs pre-staged in
+    HBM, timed by the difference between a 2N-record and an N-record
+    queue drain (cancels the constant dispatch + final-fetch latency
+    of the ~23 ms host link round-trip);
+  * device_path: N records' H2D + scan + walk + compact enqueued
+    back-to-back, wall-clocked to the final record's compact fetch
+    (the protocol of rounds 1-2, kept for cross-round comparability);
+  * end_to_end: TpuSubsampler.sketch_file wall time including FASTA
+    parsing, host link transfers, host assembly and serialization.
+    This is the headline value (everything included).
+
+Also reported: all-vs-all comparison wall time through the device
+(MXU presence-matmul) engine over the corpus's sketches, and a
+virtual-8-device mesh overhead probe for the sharded comparator (run
+in a CPU subprocess; on one host all 8 virtual devices share the same
+cores, so the meaningful signal is sharding overhead — t8/t1 near 1.0
+— not real multi-chip scaling, which needs N chips).
 """
 
 import json
 import os
+import statistics
+import subprocess
+import sys
 import tempfile
 import time
 
@@ -36,8 +48,14 @@ BASELINE_CPU_8T_MBASES_S = 273.6  # 8 x 34.2 (measured single-core rate)
 K, M, S = 31, 11, 1000.0
 PAD = 1 << 22          # 4 Mbp tiles
 NREC = 8
-WARMUP = 1
-TRIALS = 3
+TRIALS = 5
+
+
+def _stats(ts):
+    med = statistics.median(ts)
+    return med, {"median_s": round(med, 4), "min_s": round(min(ts), 4),
+                 "max_s": round(max(ts), 4), "trials": len(ts),
+                 "spread": round((max(ts) - min(ts)) / med, 3)}
 
 
 def main():
@@ -63,45 +81,116 @@ def main():
     # shared synthetic inputs
     record_codes = [rng.integers(0, 4, size=glen, dtype=np.uint8)
                     for _ in range(NREC)]
-
-    # --- device path: queue-drain over NREC records --------------------
     packed_in = []
     for codes in record_codes:
         c = np.zeros(PAD, np.uint8)
         c[:glen] = codes
         packed_in.append(pack_2bit_np(c))
-    t = scan(jax.device_put(packed_in[0]), K, M, PAD, jnp.int32(glen), thrv)
-    DeviceChain(t).compact()     # compile + warm
-    device_dt = 1e9
-    for _ in range(TRIALS):
+
+    # --- kernel: data-resident difference timing -----------------------
+    packed_dev = [jax.device_put(p) for p in packed_in]
+    # force the H2D transfers to complete before timing anything
+    for p in packed_dev:
+        np.asarray(jnp.sum(p.astype(jnp.uint32)))
+
+    def drain(n):
+        t0 = time.perf_counter()
+        dc = None
+        for i in range(n):
+            t = scan(packed_dev[i % NREC], K, M, PAD, jnp.int32(glen),
+                     thrv)
+            dc = DeviceChain(t)
+        dc.compact()            # drains the in-order device queue
+        return time.perf_counter() - t0
+
+    drain(2)                    # compile + warm
+    t_short, short_st = _stats([drain(NREC) for _ in range(TRIALS)])
+    t_long, long_st = _stats([drain(2 * NREC) for _ in range(TRIALS)])
+    kernel_dt = max(t_long - t_short, 1e-9)
+    kernel_mbps = NREC * glen / 1e6 / kernel_dt
+
+    # --- device path (rounds 1-2 protocol: H2D inside the loop) --------
+    def device_path_once():
         t0 = time.perf_counter()
         dcs = []
         for p in packed_in:
             t = scan(jax.device_put(p), K, M, PAD, jnp.int32(glen), thrv)
             dcs.append(DeviceChain(t))
-        dcs[-1].compact()        # drains the in-order device queue
-        device_dt = min(device_dt, time.perf_counter() - t0)
-    device_mbps = NREC * glen / 1e6 / device_dt
+        dcs[-1].compact()
+        return time.perf_counter() - t0
+
+    dp_med, dp_st = _stats([device_path_once() for _ in range(TRIALS)])
+    device_mbps = NREC * glen / 1e6 / dp_med
 
     # --- end to end: full public pipeline over one FASTA ---------------
     nuc = np.frombuffer(b"ACGT", np.uint8)
-    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as f:
+    tmpdir = tempfile.mkdtemp(prefix="spsp_bench_")
+    fa_path = os.path.join(tmpdir, "bench.fa")
+    with open(fa_path, "w") as f:
         for i, codes in enumerate(record_codes):
             f.write(f">r{i}\n")
             f.write(nuc[codes].tobytes().decode())
             f.write("\n")
-        fa_path = f.name
     try:
         TpuSubsampler(k=K, m=M, s=S).sketch_file(fa_path)   # warm
-        e2e_dt = 1e9
+        e2e_ts = []
         for _ in range(TRIALS):
             ss = TpuSubsampler(k=K, m=M, s=S)
             t0 = time.perf_counter()
             ss.sketch_file(fa_path)
-            e2e_dt = min(e2e_dt, time.perf_counter() - t0)
+            e2e_ts.append(time.perf_counter() - t0)
+        e2e_med, e2e_st = _stats(e2e_ts)
+        e2e_mbps = NREC * glen / 1e6 / e2e_med
+
+        # --- all-vs-all comparison over the corpus's sketches ----------
+        from supersampler_tpu.compare.merge import TpuComparator
+        from supersampler_tpu.sketch import subsample_file
+
+        cwd = os.getcwd()
+        os.chdir(tmpdir)
+        try:
+            sketches = []
+            for i, codes in enumerate(record_codes):
+                p = os.path.join(tmpdir, f"rec{i}.fa")
+                with open(p, "w") as f:
+                    f.write(f">rec{i}\n{nuc[codes].tobytes().decode()}\n")
+                ss = TpuSubsampler(k=K, m=M, s=S)
+                sketches.append(subsample_file(ss, p, "bench_"))
+
+            def compare_once():
+                comp = TpuComparator(engine="device")
+                comp.files_names = list(sketches)
+                t0 = time.perf_counter()
+                comp.compare_sketches(len(sketches))
+                comp.containment_csv()
+                comp.jaccard_csv()
+                return time.perf_counter() - t0
+
+            compare_once()      # warm
+            cmp_med, cmp_st = _stats([compare_once() for _ in range(3)])
+            n_pairs = NREC * (NREC - 1) // 2
+        finally:
+            os.chdir(cwd)
     finally:
-        os.unlink(fa_path)
-    e2e_mbps = NREC * glen / 1e6 / e2e_dt
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+    # --- virtual 8-device mesh overhead probe (CPU subprocess) ---------
+    mesh_probe = None
+    try:
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "bench_mesh_probe.py")],
+            capture_output=True, text=True, timeout=600, env=env)
+        if out.returncode == 0 and out.stdout.strip():
+            mesh_probe = json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        mesh_probe = None
 
     result = {
         "metric": "sketch_throughput",
@@ -110,9 +199,18 @@ def main():
         "vs_baseline": round(e2e_mbps / BASELINE_CPU_8T_MBASES_S, 3),
         "detail": {
             "end_to_end_mbases_s": round(e2e_mbps, 1),
+            "end_to_end": e2e_st,
+            "kernel_mbases_s": round(kernel_mbps, 1),
+            "kernel_vs_baseline": round(
+                kernel_mbps / BASELINE_CPU_8T_MBASES_S, 3),
+            "kernel": {"short": short_st, "long": long_st,
+                       "diff_s": round(kernel_dt, 4)},
             "device_path_mbases_s": round(device_mbps, 1),
             "device_path_vs_baseline": round(
                 device_mbps / BASELINE_CPU_8T_MBASES_S, 3),
+            "device_path": dp_st,
+            "compare_allvsall": dict(cmp_st, files=NREC, pairs=n_pairs),
+            "mesh8_probe": mesh_probe,
             "config": {"k": K, "m": M, "s": S, "tile": PAD,
                        "records": NREC},
             "baseline_cpu_8t_mbases_s": BASELINE_CPU_8T_MBASES_S,

@@ -1,0 +1,97 @@
+"""On-chip smoke set: run with SPSP_TEST_PLATFORM=tpu pytest tests/test_tpu_smoke.py.
+
+Skipped on the default CPU suite; on a real TPU these execute the
+compiled Mosaic kernels against the goldens — the guard against
+miscompiles that interpret-mode testing cannot catch.
+"""
+
+import gzip
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="on-TPU smoke set (set SPSP_TEST_PLATFORM=tpu)")
+
+
+def test_golden_sketch_on_tpu(datadir, goldendir):
+    """Full pipeline (compiled scan + Mosaic walker) vs golden bytes."""
+    from supersampler_tpu.sketch.pipeline import TpuSubsampler
+
+    with open(os.path.join(goldendir, "meta.json")) as f:
+        meta = json.load(f)["sketches"]
+    done = 0
+    for cfg in meta:
+        if cfg["dataset"] != "simple":
+            continue
+        ss = TpuSubsampler(k=cfg["k"], m=cfg["m"], s=float(cfg["s"]),
+                           abundance=cfg["a"])
+        raw = ss.sketch_file(datadir[cfg["dataset"]])
+        want = gzip.open(os.path.join(goldendir, cfg["file"]), "rb").read()
+        assert raw == want, cfg["file"]
+        done += 1
+    assert done >= 2
+
+
+def test_golden_compare_on_tpu(goldendir, tmp_path, monkeypatch):
+    """Device (MXU) comparator engine vs golden CSVs on the chip."""
+    from supersampler_tpu.compare.merge import TpuComparator
+
+    with open(os.path.join(goldendir, "meta.json")) as f:
+        cfg = json.load(f)["compare"]
+    comp = TpuComparator(engine="device")
+    comp.files_names = [os.path.join(goldendir, f_) for f_ in cfg["files"]]
+    comp.compare_sketches(len(cfg["files"]))
+    for kind, csv in (("containment", comp.containment_csv()),
+                      ("jaccard", comp.jaccard_csv())):
+        want = gzip.open(os.path.join(
+            goldendir, f"allvsall_{kind}.csv.gz"), "rt").read()
+        # golden CSVs carry bare basenames; ours carry goldendir paths
+        want_body = want.split("\n", 1)[1]
+        got_body = csv.split("\n", 1)[1]
+        assert got_body == want_body, kind
+
+
+def test_mosaic_walker_matches_xla_on_tpu():
+    """Compiled Mosaic walker == XLA while_loop walk on the chip."""
+    import jax.numpy as jnp
+
+    from supersampler_tpu.core.scalar import compute_threshold
+    from supersampler_tpu.ops import u64 as U
+    from supersampler_tpu.ops.minimizer import scan_tables_2d
+    from supersampler_tpu.ops.walker import (_BP, _init5_from_tables,
+                                             pack_succ, walk_pallas,
+                                             walk_xla)
+
+    k, m, s = 31, 11, 3.0
+    P, L = 8192, 7777
+    thr = compute_threshold(k, m, s)
+    rng = np.random.default_rng(5)
+    codes = np.zeros(P, np.uint8)
+    codes[:L] = rng.integers(0, 4, L, dtype=np.uint8)
+    t = jax.jit(scan_tables_2d, static_argnums=(1, 2, 3))(
+        jnp.asarray(codes), k, m, P, jnp.int32(L),
+        U.U64(jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF)))
+    n = int(t.nxt_pos_a.shape[0])
+    n_pad = ((n + _BP - 1) // _BP) * _BP
+    packed = pack_succ(t, n_pad)
+    init5 = _init5_from_tables(t)
+    pe = walk_pallas(packed, init5, interpret=False)
+    xe = walk_xla(packed, init5)
+    assert int(jnp.sum(pe[3])) == int(xe[3][0])
+    assert np.all(np.asarray(pe[4]) == np.asarray(xe[4]))
+    ncnt = int(xe[3][0])
+    cnts = np.asarray(pe[3])
+    for pi, xi in zip(pe[:3], xe[:3]):
+        want = np.asarray(xi).reshape(-1)[:ncnt]
+        # pallas emit tiles are per block; valid rows are the first
+        # cnt[b] of each block
+        g2 = np.asarray(pi)
+        ents = [g2[b].reshape(-1)[:c] for b, c in enumerate(cnts)]
+        got = (np.concatenate(ents) if ents
+               else np.zeros(0, dtype=want.dtype))
+        assert np.all(got == want)
