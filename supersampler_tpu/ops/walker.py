@@ -253,18 +253,15 @@ def _walk_from_tables(t: ScanTables, init5, n_pad: int,
     return ei, el, es, cnt, scal, n_sel
 
 
-def _compact_packed(ei, el, es, cnt, scal, t: ScanTables, sel_cap: int,
-                    fb_val, fb_rev):
-    """Single-transfer variant of _compact_emits: one int32 array
+def pack_compact_outs(outs, scal):
+    """Bundle _compact_emits outputs into one int32 fetch array:
     [n_sel, n_ev, last_pos, tail_val, tail_rev, tail_sel, nxt_pos,
      nxt_typ, pos[cap], last[cap], val[cap], rev[cap]].
 
     The host link has ~23 ms latency per fetch regardless of size, so
-    everything the host needs per walk rides one array.
-    """
+    everything the host needs per walk rides one array."""
     (pos, last, val, rev, n_sel, n_ev, last_pos, tail_val, tail_rev,
-     tail_sel) = _compact_emits(ei, el, es, cnt, scal, t, sel_cap,
-                                fb_val, fb_rev)
+     tail_sel) = outs
     head = jnp.stack([
         n_sel.astype(_I32), n_ev.astype(_I32), last_pos.astype(_I32),
         jax.lax.bitcast_convert_type(tail_val, _I32).reshape(()),
@@ -274,6 +271,13 @@ def _compact_packed(ei, el, es, cnt, scal, t: ScanTables, sel_cap: int,
     return jnp.concatenate([
         head, pos, last, jax.lax.bitcast_convert_type(val, _I32),
         rev.astype(_I32)])
+
+
+def _compact_packed(ei, el, es, cnt, scal, t: ScanTables, sel_cap: int,
+                    fb_val, fb_rev):
+    outs = _compact_emits(ei, el, es, cnt, scal, t, sel_cap,
+                          fb_val, fb_rev)
+    return pack_compact_outs(outs, scal)
 
 
 def _compact_emits(ei, el, es, cnt, scal, t: ScanTables, sel_cap: int,
@@ -396,7 +400,8 @@ class DeviceChain:
     """
 
     def __init__(self, t: ScanTables, sel_cap_guess: int = 4096,
-                 init5=None, fb=None, n_pad: int | None = None):
+                 init5=None, fb=None, n_pad: int | None = None,
+                 pack: bool = True):
         if n_pad is None:
             n = int(t.nxt_pos_a.shape[0])
             n_pad = ((n + _BP - 1) // _BP) * _BP
@@ -410,9 +415,21 @@ class DeviceChain:
         (self.ei, self.el, self.es, self.cnt, self.scal,
          self._n_sel_dev) = _walk_jit(t, init5, n_pad)
         self._cap = _pow2_ge(sel_cap_guess)
-        self._packed = _compact_packed_jit(
-            self.ei, self.el, self.es, self.cnt, self.scal, t, self._cap,
-            jax.lax.bitcast_convert_type(fb[0], jnp.uint32), fb[1] != 0)
+        self._packed = None
+        if pack:
+            self._packed = _compact_packed_jit(
+                self.ei, self.el, self.es, self.cnt, self.scal, t,
+                self._cap,
+                jax.lax.bitcast_convert_type(fb[0], jnp.uint32),
+                fb[1] != 0)
+
+    def compact_outs(self, sel_cap: int):
+        """Device-resident _compact_emits outputs (dedup path input)."""
+        return _compact_jit(
+            self.ei, self.el, self.es, self.cnt, self.scal, self._t,
+            sel_cap,
+            jax.lax.bitcast_convert_type(self._fb[0], jnp.uint32),
+            self._fb[1] != 0)
 
     def carry(self, own: int):
         """(init5, fb) for the next tile's walk (device arrays; no host
@@ -443,12 +460,18 @@ class DeviceChain:
                 self._fb[1] != 0)
             arr = jax.device_get(self._packed)
         self.n_sel = n_sel
-        cap = self._cap
-        body = arr[8:]
-        sel_pos = body[:n_sel].astype(np.int64)
-        sel_last = body[cap : cap + n_sel].astype(np.int64)
-        sel_val = body[2 * cap : 2 * cap + n_sel].view(np.uint32)
-        sel_rev = body[3 * cap : 3 * cap + n_sel] != 0
-        return (sel_pos, sel_last, sel_val, sel_rev, int(arr[1]),
-                int(arr[2]), int(np.int64(arr[3]) & 0xFFFFFFFF),
-                bool(arr[4]), bool(arr[5]))
+        return parse_compact_array(arr, self._cap)
+
+
+def parse_compact_array(arr: np.ndarray, cap: int):
+    """Host-side split of a pack_compact_outs array into the 9-tuple
+    compact contract (see DeviceChain.compact)."""
+    n_sel = int(arr[0])
+    body = arr[8 : 8 + 4 * cap]
+    sel_pos = body[:n_sel].astype(np.int64)
+    sel_last = body[cap : cap + n_sel].astype(np.int64)
+    sel_val = body[2 * cap : 2 * cap + n_sel].view(np.uint32)
+    sel_rev = body[3 * cap : 3 * cap + n_sel] != 0
+    return (sel_pos, sel_last, sel_val, sel_rev, int(arr[1]),
+            int(arr[2]), int(np.int64(arr[3]) & 0xFFFFFFFF),
+            bool(arr[4]), bool(arr[5]))

@@ -21,10 +21,13 @@ import jax
 
 from supersampler_tpu.core.scalar import NUC2INT_LUT
 from supersampler_tpu.ops import u64 as U
+from supersampler_tpu.ops.dedup import (dedup_chain_packed,
+                                        merge_unique_host,
+                                        parse_dedup_array)
 from supersampler_tpu.ops.minimizer import (pack_2bit_np, scan_tables_2d,
                                             scan_tables_2d_packed,
                                             walk_chain_host)
-from supersampler_tpu.ops.walker import DeviceChain
+from supersampler_tpu.ops.walker import DeviceChain, _pow2_ge
 from supersampler_tpu.oracle.subsampler import OracleSubsampler
 
 # Tiled-scan geometry: sequences longer than one tile stream through
@@ -66,6 +69,63 @@ def padded_size(n: int, margin: int = 128) -> int:
     raise ValueError(f"not a single-tile sequence: {n}")
 
 
+class DedupDeviceChain:
+    """Walk + on-device k-mer dedup for one region; a single fetch
+    carries the compact boundaries AND the unique k-mers (ops/dedup.py).
+
+    packed_ext: 2-bit packed codes of [region_start - 128, region_start
+    + P); tables were scanned from the non-halo'd slice.
+    length: local sequence length, or -1 for a non-final tile (no tail
+    flush here).
+    """
+
+    def __init__(self, tables, packed_ext, P_ext: int, k: int, m: int,
+                 length: int, sel_cap_guess: int = 4096,
+                 kmer_cap_guess: int = 8192, init5=None, fb=None,
+                 n_pad: int | None = None):
+        self._dc = DeviceChain(tables, sel_cap_guess=sel_cap_guess,
+                               init5=init5, fb=fb, n_pad=n_pad,
+                               pack=False)
+        self._k, self._m = k, m
+        self._packed_ext = packed_ext
+        self._P_ext = P_ext
+        self._len = length
+        self._cap = _pow2_ge(sel_cap_guess)
+        self._K = _pow2_ge(kmer_cap_guess)
+        self._dispatch()
+
+    def _dispatch(self):
+        outs = self._dc.compact_outs(self._cap)
+        self._arr = dedup_chain_packed(
+            outs, self._dc.scal, self._packed_ext, jnp.int32(self._len),
+            self._k, self._m, self._P_ext, self._K)
+
+    def carry(self, own: int):
+        return self._dc.carry(own)
+
+    def start_fetch(self):
+        try:
+            self._arr.copy_to_host_async()
+        except AttributeError:
+            pass
+
+    def compact(self):
+        arr = jax.device_get(self._arr)
+        n_sel = int(arr[0])
+        n_kmers = int(arr[8 + 4 * self._cap])
+        if n_sel > self._cap or n_kmers > self._K:
+            self._cap = max(self._cap, _pow2_ge(max(n_sel, 1)))
+            # a truncated span list underreports n_kmers; upper-bound by
+            # the span capacity times the max super-k-mer k-mer count
+            self._K = max(self._K, _pow2_ge(max(
+                n_kmers, (n_sel + 1) * (self._k - self._m + 1))))
+            self._dispatch()
+            arr = jax.device_get(self._arr)
+        comp, self.n_sel, self.n_kmers, self.uniques = parse_dedup_array(
+            arr, self._cap, self._K)
+        return comp
+
+
 class TiledDeviceChain:
     """Scan + walk of one long sequence as a pipeline of fixed tiles.
 
@@ -83,7 +143,10 @@ class TiledDeviceChain:
                  m: int, length: int, threshold: int,
                  sel_cap_guess: int = 4096, select_all: bool = False,
                  window: int = 3, own: int = _TILE_OWN,
-                 extra: int = _TILE_EXTRA):
+                 extra: int = _TILE_EXTRA, dedup: bool = False,
+                 kmer_cap_guess: int = 8192):
+        # packed_slab is 128-halo'd: byte 32 holds position 0 (see
+        # TpuSubsampler._launch_scan)
         self._packed_slab = packed_slab
         self._n_tiles = n_tiles
         self._k, self._m = k, m
@@ -95,10 +158,13 @@ class TiledDeviceChain:
         self._guess = sel_cap_guess
         self._select_all = select_all
         self._window = window
+        self._dedup = dedup
+        self._kguess = kmer_cap_guess
         self._parts = []          # fetched per-tile compact tuples
         self._pending = []        # dispatched, unfetched DeviceChains
         self._next_tile = 0
         self._carry = None        # (init5, fb) device arrays
+        self.uniques_list = [] if dedup else None
         # prime the pipeline without blocking: dispatch `window` tiles
         for _ in range(min(window, n_tiles)):
             self._dispatch_one()
@@ -108,16 +174,23 @@ class TiledDeviceChain:
         self._next_tile += 1
         own = self._own
         b0 = (t * own) >> 2
-        packed = jnp.asarray(
-            self._packed_slab[b0 : b0 + (self._tile_p >> 2)])
+        packed_ext = jnp.asarray(
+            self._packed_slab[b0 : b0 + ((self._tile_p + 128) >> 2)])
+        packed = packed_ext[32:]
         tables = device_scan_2d_packed(
             packed, self._k, self._m, self._tile_p,
             jnp.int32(self._L - t * own), U.U64(*self._thr))
         guess = own if self._select_all else self._guess
-        if self._carry is None:
-            dc = DeviceChain(tables, sel_cap_guess=guess, n_pad=own)
+        init5, fb = self._carry if self._carry is not None else (None,
+                                                                 None)
+        if self._dedup:
+            is_last = t == self._n_tiles - 1
+            dc = DedupDeviceChain(
+                tables, packed_ext, self._tile_p + 128, self._k,
+                self._m, (self._L - t * own) if is_last else -1,
+                sel_cap_guess=guess, kmer_cap_guess=self._kguess,
+                init5=init5, fb=fb, n_pad=own)
         else:
-            init5, fb = self._carry
             dc = DeviceChain(tables, sel_cap_guess=guess, init5=init5,
                              fb=fb, n_pad=own)
         self._carry = dc.carry(own)
@@ -129,6 +202,9 @@ class TiledDeviceChain:
         comp = dc.compact()
         if not self._select_all:
             self._guess = max(4096, 2 * dc.n_sel)
+        if self._dedup:
+            self._kguess = max(8192, 2 * dc.n_kmers)
+            self.uniques_list.append(dc.uniques)
         self._parts.append((t, comp))
 
     def compact(self):
@@ -171,10 +247,22 @@ class TpuSubsampler(OracleSubsampler):
     """
 
     _sel_cap_guess = 4096
+    _kmer_cap_guess = 8192
     # tile geometry (class-level so tests can shrink it to exercise the
     # multi-tile carry path on small inputs)
     _tile_own = _TILE_OWN
     _tile_extra = _TILE_EXTRA
+    # device-side dedup (ops/dedup.py): None = auto — on when the FHS
+    # rate makes selected k-mers dense enough that the reference's
+    # per-occurrence host intake (SubSampler.cpp:258-301) would
+    # dominate; off for sparse selection where the extra device pass
+    # costs more than it saves.
+    device_dedup = None
+
+    def _dedup_on(self) -> bool:
+        if self.device_dedup is None:
+            return self.s <= 64
+        return bool(self.device_dedup)
 
     def _launch_scan(self, ref: bytes):
         """Asynchronously dispatch the device scan + chain walk for one
@@ -188,32 +276,62 @@ class TpuSubsampler(OracleSubsampler):
         codes_np = NUC2INT_LUT[np.frombuffer(ref, dtype=np.uint8)]
         margin = 2 * (2 * k - m + 2) + 128
         thr = self.threshold
+        dedup = self._dedup_on()
         if L + margin <= self._tile_own:
             P = padded_size(L, margin)
-            codes = np.zeros(P, dtype=np.uint8)
-            codes[:L] = codes_np
             if self.s <= 1:
                 # select-all: every boundary selected; skip speculation
                 guess = P
             else:
                 guess = self._sel_cap_guess
-            return _scan_chain_packed(
-                jnp.asarray(pack_2bit_np(codes)), k, m, P, jnp.int32(L),
-                jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF),
-                sel_cap_guess=guess)
+            if not dedup:
+                codes = np.zeros(P, dtype=np.uint8)
+                codes[:L] = codes_np
+                return _scan_chain_packed(
+                    jnp.asarray(pack_2bit_np(codes)), k, m, P,
+                    jnp.int32(L),
+                    jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF),
+                    sel_cap_guess=guess)
+            codes = np.zeros(P + 128, dtype=np.uint8)
+            codes[128 : 128 + L] = codes_np
+            packed_ext = jnp.asarray(pack_2bit_np(codes))
+            tables = device_scan_2d_packed(
+                packed_ext[32:], k, m, P, jnp.int32(L),
+                U.U64(jnp.uint32(thr >> 32),
+                      jnp.uint32(thr & 0xFFFFFFFF)))
+            kguess = (P if self.s <= 1 else self._kmer_cap_guess)
+            return DedupDeviceChain(
+                tables, packed_ext, P + 128, k, m, L,
+                sel_cap_guess=guess, kmer_cap_guess=kguess)
         own = self._tile_own
         n_tiles = max(1, -(-(L - k) // own))
-        slab = np.zeros(n_tiles * own + self._tile_extra, dtype=np.uint8)
-        slab[:L] = codes_np
+        slab = np.zeros(128 + n_tiles * own + self._tile_extra,
+                        dtype=np.uint8)
+        slab[128 : 128 + L] = codes_np
         return TiledDeviceChain(
             pack_2bit_np(slab), n_tiles, k, m, L, thr,
             sel_cap_guess=self._sel_cap_guess,
-            select_all=self.s <= 1, own=own, extra=self._tile_extra)
+            select_all=self.s <= 1, own=own, extra=self._tile_extra,
+            dedup=dedup,
+            kmer_cap_guess=(own if self.s <= 1
+                            else self._kmer_cap_guess))
 
-    def _finish_scan(self, ref: str, dc: DeviceChain) -> None:
-        self._assemble_compact(ref, *dc.compact())
-        # adapt the speculative compaction capacity to this input
+    @staticmethod
+    def _uniques_of(dc):
+        ul = getattr(dc, "uniques_list", None)
+        if ul is not None:
+            return ul
+        u = getattr(dc, "uniques", None)
+        return [u] if u is not None else None
+
+    def _finish_scan(self, ref: str, dc) -> None:
+        comp = dc.compact()
+        self._assemble_compact(ref, *comp,
+                               uniques_list=self._uniques_of(dc))
+        # adapt the speculative capacities to this input
         self._sel_cap_guess = max(4096, 2 * dc.n_sel)
+        if getattr(dc, "n_kmers", None) is not None:
+            self._kmer_cap_guess = max(8192, 2 * dc.n_kmers)
 
     def scan_sequence(self, ref: str) -> None:
         self._finish_scan(ref, self._launch_scan(ref))
@@ -261,16 +379,20 @@ class TpuSubsampler(OracleSubsampler):
         return self.serialize()
 
     @staticmethod
-    def _fetch(dc: DeviceChain):
-        return dc.compact(), dc.n_sel
+    def _fetch(dc):
+        return dc.compact(), dc.n_sel, TpuSubsampler._uniques_of(dc), \
+            getattr(dc, "n_kmers", None)
 
     def _assemble_from(self, ref: str, fetched) -> None:
-        compact, n_sel = fetched
-        self._assemble_compact(ref, *compact)
+        compact, n_sel, uniques_list, n_kmers = fetched
+        self._assemble_compact(ref, *compact, uniques_list=uniques_list)
         self._sel_cap_guess = max(4096, 2 * n_sel)
+        if n_kmers is not None:
+            self._kmer_cap_guess = max(8192, 2 * n_kmers)
 
     def _assemble_compact(self, ref, sel_pos, sel_last, sel_val, sel_rev,
-                          n_ev, last_ev_pos, tail_val, tail_rev, tail_sel):
+                          n_ev, last_ev_pos, tail_val, tail_rev,
+                          tail_sel, uniques_list=None):
         """Replay the boundary loop (SubSampler.cpp:401-454) from the
         device-compacted selected boundaries.
 
@@ -278,11 +400,19 @@ class TpuSubsampler(OracleSubsampler):
         pos[n]-pos[n-1] k-mers and the tail flush always fires (events
         are confined to i <= L-k-1), so the per-sequence totals are
         exactly L-k+1 k-mers and n_ev+1 super-k-mers.
+
+        With uniques_list (device-dedup path) the per-span intake is
+        already done on device; only the counters run here, vectorized,
+        and the unique k-mers bulk-merge into the buckets.
         """
         k, m = self.k, self.m
         L = len(ref)
         self.total_kmer_number += L - k + 1
         self.total_superkmer_number += n_ev + 1
+        if uniques_list is not None:
+            self._assemble_dedup(L, sel_pos, sel_last, n_ev, last_ev_pos,
+                                 tail_sel, uniques_list)
+            return
         pos_end = 0
         for j in range(len(sel_pos)):
             i = int(sel_pos[j])
@@ -305,6 +435,40 @@ class TpuSubsampler(OracleSubsampler):
             self.nb_mmer_selected -= m - 1
             self.handle_superkmer(ref[last_position:], int(tail_val),
                                   bool(tail_rev))
+
+    def _assemble_dedup(self, L, sel_pos, sel_last, n_ev, last_ev_pos,
+                        tail_sel, uniques_list):
+        """Counter bookkeeping (vectorized) + bucket merge for the
+        device-dedup path. Matches the scalar loop above +
+        handle_superkmer's own stats exactly."""
+        k, m = self.k, self.m
+        n = len(sel_pos)
+        if n:
+            pos_end_prev = np.concatenate(
+                [[0], np.asarray(sel_pos[:-1]) + k - 1])
+            i_arr = np.asarray(sel_pos)
+            last_arr = np.asarray(sel_last)
+            c1 = last_arr + m - 2 > pos_end_prev
+            contrib = np.where(
+                c1,
+                np.where(pos_end_prev > 0, -(m - 1), 0)
+                + (i_arr + k - last_arr) - (k - m),
+                i_arr + k - (pos_end_prev + 1))
+            self.nb_mmer_selected += int(contrib.sum())
+            lens = i_arr + k - last_arr
+            self.selected_superkmer_number += n
+            self.selected_kmer_number += int((lens - k + 1).sum())
+            self.count_maximal_skmer += int((lens == 2 * k - m).sum())
+        if tail_sel:
+            self.nb_mmer_selected -= m - 1
+            last_position = last_ev_pos + 1 if n_ev else 0
+            tlen = L - last_position
+            self.selected_superkmer_number += 1
+            self.selected_kmer_number += tlen - k + 1
+            if tlen == 2 * k - m:
+                self.count_maximal_skmer += 1
+        for uniques in uniques_list:
+            merge_unique_host(self, uniques, k)
 
     def _assemble(self, ref, pos, val, rev, sel, init):
         """Replay the boundary bookkeeping of the reference loop
