@@ -181,12 +181,9 @@ _HALO_LEFT = 128   # covers the longest span (2k-m-1 < 128 chars) of a
                    # boundary event near a tile's start
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def dedup_chain_packed(outs, scal, packed_ext, length, k: int, m: int,
+def _dedup_tail_arrays(outs, packed_ext, length, k: int, m: int,
                        P_ext: int, K: int):
-    """Fused fetch payload for the dedup path: the walk's compact array
-    (walker.pack_compact_outs) concatenated with this dispatch's unique
-    k-mers, so one device->host transfer carries everything.
+    """Shared core: spans (+ tail span) -> dedup arrays for the fetch.
 
     packed_ext: 2-bit packed codes of [tile_start - 128, tile_start +
     P) — the left halo covers spans whose opening event precedes the
@@ -195,7 +192,6 @@ def dedup_chain_packed(outs, scal, packed_ext, length, k: int, m: int,
     -1 for non-final tiles whose tail flush belongs to a later tile).
     """
     from supersampler_tpu.ops.minimizer import unpack_2bit
-    from supersampler_tpu.ops.walker import pack_compact_outs
 
     (pos, last, val, rev, n_sel, n_ev, last_pos, tail_val, tail_rev,
      tail_sel) = outs
@@ -223,23 +219,50 @@ def dedup_chain_packed(outs, scal, packed_ext, length, k: int, m: int,
     (n_kmers, n_unique, u_min, limbs, okey, pm, counts) = dedup_spans(
         codes, (pos_h, last_h, val_x, rev_x, n_spans), k, m, P_ext, K)
 
-    compact_arr = pack_compact_outs(outs, scal)
     dd_head = jnp.stack([n_kmers, n_unique])
     return jnp.concatenate([
-        compact_arr, dd_head,
+        dd_head,
         jax.lax.bitcast_convert_type(u_min, _I32),
         jax.lax.bitcast_convert_type(limbs.T.reshape(-1), _I32),
         okey, pm, counts])
 
 
-def parse_dedup_array(arr: np.ndarray, cap: int, K: int):
-    """Split a dedup_chain_packed fetch into (compact_9tuple, n_sel,
-    n_kmers, uniques) where uniques feeds merge_unique_host."""
-    from supersampler_tpu.ops.walker import parse_compact_array
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def dedup_chain_packed(outs, scal, packed_ext, length, k: int, m: int,
+                       P_ext: int, K: int):
+    """Fused fetch for the legacy-walker dedup path: compact array
+    (walker.pack_compact_outs) + this dispatch's unique k-mers in one
+    device->host transfer."""
+    from supersampler_tpu.ops.walker import pack_compact_outs
 
-    comp = parse_compact_array(arr, cap)
-    n_sel = int(arr[0])
-    base = 8 + 4 * cap
+    tail = _dedup_tail_arrays(outs, packed_ext, length, k, m, P_ext, K)
+    return jnp.concatenate([pack_compact_outs(outs, scal), tail])
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6, 7))
+def field_dedup_packed(arr, cap: int, packed_ext, length, k: int,
+                       m: int, P_ext: int, K: int):
+    """Fused fetch for the sync-field dedup path: the resolve_field
+    array + unique k-mers (ops/field.py layout, head of 12)."""
+    H = 12
+    pos = arr[H : H + cap]
+    last = arr[H + cap : H + 2 * cap]
+    val = jax.lax.bitcast_convert_type(
+        arr[H + 2 * cap : H + 3 * cap], jnp.uint32)
+    rev = arr[H + 3 * cap : H + 4 * cap] != 0
+    n_sel = arr[1]
+    n_ev = arr[2]
+    last_pos = arr[3]
+    tail_val = jax.lax.bitcast_convert_type(arr[4], jnp.uint32)
+    tail_rev = arr[5] != 0
+    tail_sel = arr[6] != 0
+    outs = (pos, last, val, rev, n_sel, n_ev, last_pos, tail_val,
+            tail_rev, tail_sel)
+    tail = _dedup_tail_arrays(outs, packed_ext, length, k, m, P_ext, K)
+    return jnp.concatenate([arr, tail])
+
+
+def _parse_dedup_tail(arr: np.ndarray, base: int, K: int):
     n_kmers = int(arr[base])
     n_unique = int(arr[base + 1])
     base += 2
@@ -252,8 +275,28 @@ def parse_dedup_array(arr: np.ndarray, cap: int, K: int):
     pm = arr[base : base + K]
     base += K
     counts = arr[base : base + K]
-    uniques = (n_unique, u_min, limbs, okey, pm, counts)
+    return n_kmers, (n_unique, u_min, limbs, okey, pm, counts)
+
+
+def parse_dedup_array(arr: np.ndarray, cap: int, K: int):
+    """Split a dedup_chain_packed fetch into (compact_9tuple, n_sel,
+    n_kmers, uniques) where uniques feeds merge_unique_host."""
+    from supersampler_tpu.ops.walker import parse_compact_array
+
+    comp = parse_compact_array(arr, cap)
+    n_sel = int(arr[0])
+    n_kmers, uniques = _parse_dedup_tail(arr, 8 + 4 * cap, K)
     return comp, n_sel, n_kmers, uniques
+
+
+def parse_field_dedup_array(arr: np.ndarray, cap: int, K: int):
+    """Split a field_dedup_packed fetch into (status, compact_9tuple,
+    n_sel, n_kmers, uniques)."""
+    from supersampler_tpu.ops.field import parse_field_array
+
+    status, comp, n_sel = parse_field_array(arr, cap)
+    n_kmers, uniques = _parse_dedup_tail(arr, 12 + 4 * cap, K)
+    return status, comp, n_sel, n_kmers, uniques
 
 
 def merge_unique_host(ss, fetched, k: int):

@@ -1,0 +1,455 @@
+"""Sync-field scan: gather-free, walker-free event extraction.
+
+Replaces the successor-table + serial-walker pipeline (ops/minimizer.py
++ ops/walker.py) for the hot path. Uses the sync theorem proven in
+ops/event_field.py: a position whose entering hash is strictly below
+every hash in the preceding 2W positions forces an adoption regardless
+of history, so the streaming machine's state there is locally known.
+
+The sequence is split into fixed blocks of B loop positions. Each block
+containing a sync resolves its suffix [first_sync, B) independently
+(sweep 1), which also yields every block's EXIT state without knowing
+its prefix; prefixes [0, first_sync) then resolve from the
+predecessor's exit (sweep 2, iterated a bounded number of times for
+runs of syncless blocks — vanishingly rare at B=256). All sweeps are
+dense (n_blocks,)-lane vector ops inside a fori loop over columns: no
+gathers, no scalar-core serialization. Blocks that remain unresolved
+after the pass budget (pathological content, e.g. megabase
+homopolymers) raise a status flag and the caller falls back to the
+exact legacy walker path.
+
+Emit/compact semantics replicate the reference boundary loop
+(SubSampler.cpp:401-454) exactly as ops/walker.py does; outputs use the
+same 9-tuple compact contract.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supersampler_tpu.ops import u64 as U
+from supersampler_tpu.ops.minimizer import _mmer_elect_block, _sl, _slh, \
+    unpack_2bit
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+_FF = jnp.uint32(0xFFFFFFFF)
+_B = 256                 # resolution block size (loop positions)
+_MAX_PASSES = 4          # sweep-2 iterations (syncless-run budget)
+
+
+class FieldTables(NamedTuple):
+    """Flat per-loop-position arrays, padded to a multiple of _B."""
+
+    h_hi: jnp.ndarray    # entering m-mer hash at j (u32 x2)
+    h_lo: jnp.ndarray
+    cv: jnp.ndarray      # entering canon value | rev<<30
+    em: jnp.ndarray      # election of window j+1: value | rev<<30
+    ep: jnp.ndarray      # election in-window position (i32)
+    eh_hi: jnp.ndarray   # election hash
+    eh_lo: jnp.ndarray
+    sync: jnp.ndarray    # bool: guaranteed adoption at j
+    last_i: jnp.ndarray  # i32 scalar: final valid loop position
+    init_val: jnp.ndarray   # u32 value | rev<<30 (window-0 election)
+    init_p: jnp.ndarray     # i32 absolute position_min
+    init_h_hi: jnp.ndarray
+    init_h_lo: jnp.ndarray
+
+
+def _pow2_le(n: int) -> int:
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
+
+
+def scan_field_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
+                  length: jnp.ndarray, first_tile: bool = True,
+                  cols: int = 512) -> FieldTables:
+    """Dense field scan (no successor tables): m-mers, hashes, window
+    elections and sync flags in the 2D-tiled layout of
+    scan_tables_2d."""
+    P = padded_len
+    C = cols
+    W = k - m + 1
+    halo = k + W
+    assert C > halo and P % C == 0 and P % _B == 0
+    R = P // C
+
+    base = codes.reshape(R, C)
+    c2 = jnp.concatenate(
+        [base, jnp.roll(base, -1, axis=0)[:, :halo]],
+        axis=1).astype(jnp.uint32)
+    canon, rev, hh, em, ep, er, eh, h_ent = _mmer_elect_block(
+        c2, k, m, C, halo)
+
+    h0 = _slh(h_ent, 0, C)                       # entering hash per j
+    c_ent = _sl(canon, k - m + 1, C)
+    r_ent = _sl(rev, k - m + 1, C)
+    cv = c_ent | (r_ent.astype(_U32) << 30)
+    em_r = _sl(em, 1, C) | (_sl(er, 1, C).astype(_U32) << 30)
+    ep_r = _sl(ep, 1, C)
+    eh_r = _slh(eh, 1, C)
+
+    # ---- sync flags: strict minimum vs the previous 2W entering
+    # hashes, via log-step windowed mins on a left-halo'd layout ----
+    LH = 2 * W
+    prev_tail_hi = jnp.roll(h0.hi, 1, axis=0)[:, C - LH:]
+    prev_tail_lo = jnp.roll(h0.lo, 1, axis=0)[:, C - LH:]
+    # row 0 has no predecessor: +inf pad (never smaller); correct for
+    # the first tile; callers mask the first 2W flags of later tiles.
+    row0_ff = jnp.concatenate(
+        [jnp.full((1, LH), 0xFFFFFFFF, _U32),
+         jnp.zeros((R - 1, LH), _U32)], axis=0)
+    lh_hi = jnp.where(row0_ff > 0, _FF, prev_tail_hi)
+    lh_lo = jnp.where(row0_ff > 0, _FF, prev_tail_lo)
+    a_hi = jnp.concatenate([lh_hi, h0.hi], axis=1)
+    a_lo = jnp.concatenate([lh_lo, h0.lo], axis=1)
+
+    def shmin(hi, lo, s, width):
+        b_hi = _sl(hi, LH - s, width)
+        b_lo = _sl(lo, LH - s, width)
+        c_hi = _sl(hi, LH, width)
+        c_lo = _sl(lo, LH, width)
+        # pairwise u64 min of (b shifted-left-by-s, c)
+        lt = (b_hi < c_hi) | ((b_hi == c_hi) & (b_lo < c_lo))
+        return jnp.where(lt, b_hi, c_hi), jnp.where(lt, b_lo, c_lo)
+
+    # build M_t over the halo'd array: M_t[x] = min a[x-t+1 .. x]
+    t = _pow2_le(LH)
+    m_hi, m_lo = a_hi, a_lo
+    step = 1
+    while step < t:
+        w_ = a_hi.shape[1] - step
+        b_hi = _sl(m_hi, 0, w_)
+        b_lo = _sl(m_lo, 0, w_)
+        c_hi = _sl(m_hi, step, w_)
+        c_lo = _sl(m_lo, step, w_)
+        lt = (b_hi < c_hi) | ((b_hi == c_hi) & (b_lo < c_lo))
+        m_hi = jnp.concatenate(
+            [m_hi[:, :step], jnp.where(lt, b_hi, c_hi)], axis=1)
+        m_lo = jnp.concatenate(
+            [m_lo[:, :step], jnp.where(lt, b_lo, c_lo)], axis=1)
+        step *= 2
+    # min over [c-2W, c-1] = min(M_t[c-1], M_t[c-(2W-t)-1]); in the
+    # halo'd frame position j sits at column j_loc + 2W
+    off1 = LH - 1
+    off2 = LH - (LH - t) - 1      # = t - 1
+    w1_hi, w1_lo = _sl(m_hi, off1, C), _sl(m_lo, off1, C)
+    w2_hi, w2_lo = _sl(m_hi, off2, C), _sl(m_lo, off2, C)
+    lt12 = (w2_hi < w1_hi) | ((w2_hi == w1_hi) & (w2_lo < w1_lo))
+    mn_hi = jnp.where(lt12, w2_hi, w1_hi)
+    mn_lo = jnp.where(lt12, w2_lo, w1_lo)
+    sync = (h0.hi < mn_hi) | ((h0.hi == mn_hi) & (h0.lo < mn_lo))
+
+    last_i = (length - k - 1).astype(_I32)
+    j2d = (jax.lax.broadcasted_iota(_I32, (R, C), 0) * C
+           + jax.lax.broadcasted_iota(_I32, (R, C), 1))
+    # the first 2W positions' lookback would need hashes this layout
+    # doesn't carry (window-0 m-mers for the first tile, the previous
+    # tile's entering hashes otherwise): never flag them — the entry
+    # state resolves that prefix exactly anyway
+    sync = sync & (j2d <= last_i) & (j2d >= 2 * W)
+
+    flat = lambda a: a.reshape(-1)
+    init_val = (em[0, 0] | (er[0, 0].astype(_U32) << 30))
+    return FieldTables(
+        h_hi=flat(h0.hi), h_lo=flat(h0.lo), cv=flat(cv), em=flat(em_r),
+        ep=flat(ep_r), eh_hi=flat(eh_r.hi), eh_lo=flat(eh_r.lo),
+        sync=flat(sync), last_i=last_i,
+        init_val=init_val, init_p=ep[0, 0],
+        init_h_hi=eh.hi[0, 0], init_h_lo=eh.lo[0, 0])
+
+
+def scan_field_2d_packed(packed, k, m, padded_len, length,
+                         first_tile: bool = True, cols: int = 512):
+    codes = unpack_2bit(packed, padded_len)
+    return scan_field_2d(codes, k, m, padded_len, length, first_tile,
+                         cols)
+
+
+class FieldState(NamedTuple):
+    """Per-lane machine state (the reference loop's registers plus the
+    previous-event bookkeeping the emits need)."""
+
+    val: jnp.ndarray     # u32: value | rev<<30 | sel<<31 of held minimizer
+    h_hi: jnp.ndarray
+    h_lo: jnp.ndarray
+    p: jnp.ndarray       # i32 absolute position_min
+    last_ev: jnp.ndarray  # i32 absolute position of the last event (-1)
+    n_ev: jnp.ndarray    # i32 events so far in this lane's resolved part
+
+
+def _sweep(t: FieldTables, W: int, n_blk: int, state0: FieldState,
+           start, end, active_lane, ev_flag, ev_prev_val, ev_prev_last,
+           force_entry: bool, thr_hi, thr_lo):
+    """Run the machine over columns [start, end) of every active lane.
+
+    start/end: (n_blk,) i32 column bounds per lane. When force_entry,
+    an adoption is forced at column == start (the sync theorem's entry;
+    its emit bookkeeping is deferred — ev_prev_last records -2).
+    Returns (exit_state, ev arrays). Event records are DENSE per
+    column: flag + the PREVIOUS event's payload (val|rev<<30|sel<<31)
+    and last_position — exactly what boundary emits need.
+    """
+    B = _B
+    h_hi = t.h_hi.reshape(n_blk, B)
+    h_lo = t.h_lo.reshape(n_blk, B)
+    cv = t.cv.reshape(n_blk, B)
+    em = t.em.reshape(n_blk, B)
+    ep = t.ep.reshape(n_blk, B)
+    eh_hi = t.eh_hi.reshape(n_blk, B)
+    eh_lo = t.eh_lo.reshape(n_blk, B)
+    lane_base = jnp.arange(n_blk, dtype=_I32) * B
+
+    def body(r, carry):
+        st, ef, epv, epl = carry
+        j = lane_base + r
+        act = active_lane & (r >= start) & (r < end) & (j <= t.last_i)
+        is_entry = act & (r == start) if force_entry else \
+            jnp.zeros_like(act)
+        nh_hi = jax.lax.dynamic_slice_in_dim(h_hi, r, 1, 1)[:, 0]
+        nh_lo = jax.lax.dynamic_slice_in_dim(h_lo, r, 1, 1)[:, 0]
+        lt = (nh_hi < st.h_hi) | ((nh_hi == st.h_hi)
+                                  & (nh_lo < st.h_lo))
+        adopt = (act & lt) | is_entry
+        expiry = act & ~adopt & (j >= st.p)
+        ev = adopt | expiry
+
+        col = lambda a: jax.lax.dynamic_slice_in_dim(a, r, 1, 1)[:, 0]
+        new_hh = jnp.where(adopt, nh_hi, col(eh_hi))
+        new_hl = jnp.where(adopt, nh_lo, col(eh_lo))
+        sel = ((new_hh < thr_hi)
+               | ((new_hh == thr_hi) & (new_hl <= thr_lo)))
+        new_val = (jnp.where(adopt, col(cv), col(em))
+                   | (sel.astype(_U32) << 31))
+        new_p = jnp.where(adopt, j + W, col(ep) + j + 1)
+
+        # record: the event at j closes the super-k-mer carrying the
+        # PREVIOUS payload (ev_prev_*); entry events defer (-2 marker).
+        # Read-modify-write: other sweeps' records in this column must
+        # survive (each position is written by exactly one ACTIVE sweep)
+        prev_val = st.val
+        prev_last = jnp.where(is_entry, -2, st.last_ev + 1)
+        ef = jax.lax.dynamic_update_slice_in_dim(
+            ef, (ev | col(ef))[:, None], r, 1)
+        epv = jax.lax.dynamic_update_slice_in_dim(
+            epv, jnp.where(ev, prev_val, col(epv))[:, None], r, 1)
+        epl = jax.lax.dynamic_update_slice_in_dim(
+            epl, jnp.where(ev, prev_last, col(epl))[:, None], r, 1)
+
+        st = FieldState(
+            val=jnp.where(ev, new_val, st.val),
+            h_hi=jnp.where(ev, new_hh, st.h_hi),
+            h_lo=jnp.where(ev, new_hl, st.h_lo),
+            p=jnp.where(ev, new_p, st.p),
+            last_ev=jnp.where(ev, j, st.last_ev),
+            n_ev=st.n_ev + ev.astype(_I32))
+        return st, ef, epv, epl
+
+    out = jax.lax.fori_loop(0, B, body,
+                            (state0, ev_flag, ev_prev_val, ev_prev_last))
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
+                  entry, thr_hi, thr_lo):
+    """Resolve the whole event chain from a FieldTables.
+
+    entry: i32[8] machine state entering this region —
+      [val|rev<<30 (bitcast), h_hi, h_lo, p, last_ev, n_ev_prior,
+       unused, unused]; build with field_entry_init / carry rebasing.
+
+    Returns one int32 fetch array:
+      [status, n_sel, n_ev, last_ev_pos, tail_val, tail_rev, tail_sel,
+       exit_val, exit_h_hi, exit_h_lo, exit_p, exit_last_ev,
+       pos[cap], last[cap], val[cap], rev[cap]]
+    status != 0 => unresolved blocks remain (caller must fall back).
+    """
+    W = k - m + 1
+    P = t.h_hi.shape[0]
+    n_blk = P // _B
+    B = _B
+    lanes = jnp.arange(n_blk, dtype=_I32)
+    lane_base = lanes * B
+
+    sync2 = t.sync.reshape(n_blk, B)
+    has_sync = jnp.any(sync2, axis=1)
+    fs = jnp.argmax(sync2, axis=1).astype(_I32)
+    fs = jnp.where(has_sync, fs, B)
+    # lanes with no valid loop position are inert: resolved by fiat,
+    # their (meaningless) exits only feed equally-inert successors
+    live = lane_base <= t.last_i
+
+    thr_hi = jnp.asarray(thr_hi, _U32).reshape(())
+    thr_lo = jnp.asarray(thr_lo, _U32).reshape(())
+    zst = FieldState(
+        val=jnp.zeros((n_blk,), _U32),
+        h_hi=jnp.full((n_blk,), 0xFFFFFFFF, _U32),
+        h_lo=jnp.full((n_blk,), 0xFFFFFFFF, _U32),
+        p=jnp.zeros((n_blk,), _I32),
+        last_ev=jnp.full((n_blk,), -1, _I32),
+        n_ev=jnp.zeros((n_blk,), _I32))
+    ev_flag = jnp.zeros((n_blk, B), bool)
+    ev_pval = jnp.zeros((n_blk, B), _U32)
+    ev_plast = jnp.full((n_blk, B), -1, _I32)
+
+    # ---- sweep 1: suffixes from each block's first sync ----
+    st1, ev_flag, ev_pval, ev_plast = _sweep(
+        t, W, n_blk, zst, fs, jnp.full((n_blk,), B, _I32), has_sync,
+        ev_flag, ev_pval, ev_plast, True, thr_hi, thr_lo)
+
+    exit_val = st1.val
+    exit_hh = st1.h_hi
+    exit_hl = st1.h_lo
+    exit_p = st1.p
+    exit_le = st1.last_ev
+    suffix_ev = st1.n_ev
+    exit_known = has_sync | ~live
+
+    # ---- sweep 2 (iterated): prefixes from the predecessor's exit ----
+    ent_val = jax.lax.bitcast_convert_type(entry[0], _U32).reshape(())
+    ent_hh = jax.lax.bitcast_convert_type(entry[1], _U32).reshape(())
+    ent_hl = jax.lax.bitcast_convert_type(entry[2], _U32).reshape(())
+    ent_p = entry[3]
+    ent_le = entry[4]
+
+    def pred(a, first):
+        return jnp.concatenate([jnp.asarray(first, a.dtype)[None],
+                                a[:-1]])
+
+    prefix_done = ~live
+    prefix_ev = jnp.zeros((n_blk,), _I32)
+    # state at the end of each lane's prefix (== pred exit when the
+    # prefix has no events): the payload the lane's sync event closes
+    pre_val = jnp.zeros((n_blk,), _U32)
+    pre_le = jnp.full((n_blk,), -1, _I32)
+    for _ in range(_MAX_PASSES):
+        pred_known = pred(exit_known, True)
+        can = ~prefix_done & pred_known
+        st0 = FieldState(
+            val=pred(exit_val, ent_val),
+            h_hi=pred(exit_hh, ent_hh),
+            h_lo=pred(exit_hl, ent_hl),
+            p=pred(exit_p, ent_p),
+            last_ev=pred(exit_le, ent_le),
+            n_ev=jnp.zeros((n_blk,), _I32))
+        st2, ev_flag, ev_pval, ev_plast = _sweep(
+            t, W, n_blk, st0, jnp.zeros((n_blk,), _I32), fs, can,
+            ev_flag, ev_pval, ev_plast, False, thr_hi, thr_lo)
+        prefix_ev = jnp.where(can, st2.n_ev, prefix_ev)
+        pre_val = jnp.where(can, st2.val, pre_val)
+        pre_le = jnp.where(can, st2.last_ev, pre_le)
+        # syncless blocks: the "prefix" is the whole block; its end
+        # state is the block exit
+        newly_exit = can & ~has_sync
+        exit_val = jnp.where(newly_exit, st2.val, exit_val)
+        exit_hh = jnp.where(newly_exit, st2.h_hi, exit_hh)
+        exit_hl = jnp.where(newly_exit, st2.h_lo, exit_hl)
+        exit_p = jnp.where(newly_exit, st2.p, exit_p)
+        exit_le = jnp.where(newly_exit, st2.last_ev, exit_le)
+        exit_known = exit_known | newly_exit
+        prefix_done = prefix_done | can
+    status = jnp.sum(~prefix_done).astype(_I32)
+
+    # ---- resolve the deferred entry emits: each sync event closes the
+    # super-k-mer carried at the end of ITS OWN prefix (which equals
+    # the predecessor's exit when the prefix had no events) ----
+    # out-of-bounds column B drops the write for non-sync lanes
+    cols_ = jnp.where(has_sync, fs, B)
+    ev_pval = ev_pval.at[lanes, cols_].set(pre_val, mode="drop")
+    ev_plast = ev_plast.at[lanes, cols_].set(pre_le + 1, mode="drop")
+
+    # ---- selected-boundary compaction (9-tuple compact contract) ----
+    # the prev payload word carries its sel bit (bit 31, stored when
+    # the previous event installed it)
+    flat_flag = ev_flag.reshape(-1)
+    flat_pval = ev_pval.reshape(-1)
+    flat_plast = ev_plast.reshape(-1)
+    sel_mask = flat_flag & ((flat_pval >> 31) == 1)
+    n_sel = jnp.sum(sel_mask).astype(_I32)
+    n_ev = jnp.sum(suffix_ev) + jnp.sum(prefix_ev) + entry[5]
+
+    idx = jnp.nonzero(sel_mask, size=sel_cap, fill_value=P - 1)[0]
+    ok = jnp.arange(sel_cap, dtype=_I32) < n_sel
+    pos = jnp.where(ok, idx.astype(_I32), -1)
+    last = jnp.where(ok, flat_plast[idx], -1)
+    valw = jnp.where(ok, flat_pval[idx], 0)
+    val = valw & ((1 << 30) - 1)
+    rev = (valw >> 30) & 1
+
+    # tail/carry: the LAST LIVE lane's exit (the machine state at
+    # last_i); with no live lane the entry state passes through
+    lane_q = jnp.clip(t.last_i // B, 0, n_blk - 1)
+    no_live = t.last_i < 0
+    x_val = jnp.where(no_live, ent_val, exit_val[lane_q])
+    x_hh = jnp.where(no_live, ent_hh, exit_hh[lane_q])
+    x_hl = jnp.where(no_live, ent_hl, exit_hl[lane_q])
+    x_p = jnp.where(no_live, ent_p, exit_p[lane_q])
+    x_le = jnp.where(no_live, ent_le, exit_le[lane_q])
+    tail_val = x_val & ((1 << 30) - 1)
+    tail_rev = (x_val >> 30) & 1
+    tail_sel = (x_val >> 31) & 1
+    last_ev_pos = x_le
+
+    head = jnp.stack([
+        status, n_sel, n_ev.astype(_I32), last_ev_pos,
+        jax.lax.bitcast_convert_type(tail_val, _I32).reshape(()),
+        tail_rev.astype(_I32), tail_sel.astype(_I32),
+        jax.lax.bitcast_convert_type(x_val, _I32).reshape(()),
+        jax.lax.bitcast_convert_type(x_hh, _I32).reshape(()),
+        jax.lax.bitcast_convert_type(x_hl, _I32).reshape(()),
+        x_p, x_le])
+    return jnp.concatenate([
+        head, pos, last,
+        jax.lax.bitcast_convert_type(val, _I32), rev.astype(_I32)])
+
+
+_HEAD = 12
+
+
+@jax.jit
+def field_entry_init(t: FieldTables, thr_hi, thr_lo):
+    """Entry state for the first region of a sequence: the window-0
+    election (reference SubSampler.cpp:359-365), its sel bit included."""
+    thr_hi = jnp.asarray(thr_hi, _U32).reshape(())
+    thr_lo = jnp.asarray(thr_lo, _U32).reshape(())
+    sel = ((t.init_h_hi < thr_hi)
+           | ((t.init_h_hi == thr_hi) & (t.init_h_lo <= thr_lo)))
+    val = t.init_val | (sel.astype(_U32) << 31)
+    z = jnp.int32(0)
+    return jnp.stack([
+        jax.lax.bitcast_convert_type(val, _I32).reshape(()),
+        jax.lax.bitcast_convert_type(t.init_h_hi, _I32).reshape(()),
+        jax.lax.bitcast_convert_type(t.init_h_lo, _I32).reshape(()),
+        t.init_p.astype(_I32), jnp.int32(-1), z, z, z])
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def field_carry(arr, own: int):
+    """Next tile's entry from this region's fetch array: the exit
+    state re-based by -own (positions go local to the next tile)."""
+    z = jnp.int32(0)
+    return jnp.stack([
+        arr[7], arr[8], arr[9], arr[10] - own, arr[11] - own, z, z, z])
+
+
+def parse_field_array(arr: np.ndarray, cap: int):
+    """Host-side split into (status, compact-9-tuple, n_sel)."""
+    status = int(arr[0])
+    n_sel = int(arr[1])
+    body = arr[_HEAD : _HEAD + 4 * cap]
+    sel_pos = body[:n_sel].astype(np.int64)
+    sel_last = body[cap : cap + n_sel].astype(np.int64)
+    sel_val = body[2 * cap : 2 * cap + n_sel].view(np.uint32)
+    sel_rev = body[3 * cap : 3 * cap + n_sel] != 0
+    comp = (sel_pos, sel_last, sel_val, sel_rev, int(arr[2]),
+            int(arr[3]), int(np.int64(arr[4]) & 0xFFFFFFFF),
+            bool(arr[5]), bool(arr[6]))
+    return status, comp, n_sel

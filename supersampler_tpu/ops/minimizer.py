@@ -356,18 +356,25 @@ def scan_tables_2d_packed(packed: jnp.ndarray, k: int, m: int,
     return scan_tables_2d(codes, k, m, padded_len, length, threshold, cols)
 
 
-def _block_tables(c2, row0, length, threshold, k, m, C, halo):
-    """Successor/payload tables for a (Rb, C+halo) block of codes whose
-    first row starts at flat position row0*C. Shared by the XLA 2D path
-    (whole grid) and the Pallas kernel (per block)."""
+def _sl(a, off, width):
+    return jax.lax.slice_in_dim(a, off, off + width, axis=1)
+
+
+def _slh(a, off, width):
+    return U.U64(_sl(a.hi, off, width), _sl(a.lo, off, width))
+
+
+def _mmer_elect_block(c2, k, m, C, halo):
+    """Per-position m-mers, hashes and exact window elections for a
+    (Rb, C+halo) block of codes — the shared core of the successor-table
+    scan (legacy path) and the sync-field scan (ops/field.py).
+
+    Returns (canon, rev, hh, em, ep, er, eh, h_ent) where election
+    arrays have width C+W (window starts) and h_ent has width C+W
+    (entering m-mer hashes, offset k-m+1)."""
     W = k - m + 1
     R = c2.shape[0]
-
-    def sl(a, off, width):
-        return jax.lax.slice_in_dim(a, off, off + width, axis=1)
-
-    def slh(a, off, width):
-        return U.U64(sl(a.hi, off, width), sl(a.lo, off, width))
+    sl, slh = _sl, _slh
 
     # rolling m-mer codes at every start position (fwd / rc)
     w_m = C + halo - (m - 1)
@@ -408,13 +415,22 @@ def _block_tables(c2, row0, length, threshold, k, m, C, halo):
         hmin = U.where(take, h, hmin)
     em, ep, er, eh = mini, pos, is_rev, hmin
 
-    # entering m-mer per loop position (m-mer offset k-m+1); width C+W
-    # so the successor scan can look W columns ahead.
-    w_h = w_m - (k - m + 1)  # = C + W - 1... need C + W; use C + W - 1?
-    # h_ent[c] = hash of m-mer starting at c + k - m + 1; the succ scan
-    # reads offsets 1..W of h_ent => needs width C + W.
-    w_h = C + W
-    h_ent = slh(hh, k - m + 1, w_h)
+    # entering m-mer hash per loop position (m-mer offset k-m+1); width
+    # C+W so successor/adoption scans can look W columns ahead.
+    h_ent = slh(hh, k - m + 1, C + W)
+    return canon, rev, hh, em, ep, er, eh, h_ent
+
+
+def _block_tables(c2, row0, length, threshold, k, m, C, halo):
+    """Successor/payload tables for a (Rb, C+halo) block of codes whose
+    first row starts at flat position row0*C. Shared by the XLA 2D path
+    (whole grid) and the Pallas kernel (per block)."""
+    W = k - m + 1
+    R = c2.shape[0]
+    sl, slh = _sl, _slh
+
+    canon, rev, hh, em, ep, er, eh, h_ent = _mmer_elect_block(
+        c2, k, m, C, halo)
 
     pos2d = ((jax.lax.broadcasted_iota(_I32, (R, C), 0) + row0) * C
              + jax.lax.broadcasted_iota(_I32, (R, C), 1))

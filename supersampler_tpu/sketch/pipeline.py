@@ -22,8 +22,13 @@ import jax
 from supersampler_tpu.core.scalar import NUC2INT_LUT
 from supersampler_tpu.ops import u64 as U
 from supersampler_tpu.ops.dedup import (dedup_chain_packed,
+                                        field_dedup_packed,
                                         merge_unique_host,
-                                        parse_dedup_array)
+                                        parse_dedup_array,
+                                        parse_field_dedup_array)
+from supersampler_tpu.ops.field import (field_carry, field_entry_init,
+                                        parse_field_array, resolve_field,
+                                        scan_field_2d_packed)
 from supersampler_tpu.ops.minimizer import (pack_2bit_np, scan_tables_2d,
                                             scan_tables_2d_packed,
                                             walk_chain_host)
@@ -43,6 +48,8 @@ _PAD_BUCKETS = [1 << b for b in range(10, 23)]
 device_scan_2d = jax.jit(scan_tables_2d, static_argnums=(1, 2, 3, 6))
 device_scan_2d_packed = jax.jit(scan_tables_2d_packed,
                                 static_argnums=(1, 2, 3, 6))
+device_scan_field_packed = jax.jit(scan_field_2d_packed,
+                                   static_argnums=(1, 2, 3, 5, 6))
 
 
 def _scan_chain_packed(packed, k: int, m: int, P: int, length, thr_hi,
@@ -239,6 +246,156 @@ class TiledDeviceChain:
                 last_ev_pos, tail[0], tail[1], tail[2])
 
 
+class FieldChain:
+    """Sync-field scan chain for one sequence — single tile or tiled,
+    with optional device dedup. The walker-free default engine
+    (ops/field.py); on a resolution overflow (pathological content,
+    e.g. multi-kilobase homopolymer runs defeating the sync theorem's
+    pass budget) it transparently re-runs the sequence through the
+    legacy successor-table + serial-walker path, which is exact on
+    everything.
+    """
+
+    def __init__(self, packed_slab: np.ndarray, n_tiles: int, k: int,
+                 m: int, length: int, threshold: int, own: int,
+                 extra: int, sel_cap_guess: int = 4096,
+                 kmer_cap_guess: int = 8192, select_all: bool = False,
+                 dedup: bool = False, window: int = 3):
+        self._slab = packed_slab          # 128-halo'd 2-bit codes
+        self._n_tiles = n_tiles
+        self._k, self._m = k, m
+        self._L = length
+        self._thrv = threshold
+        self._thr = (jnp.uint32(threshold >> 32),
+                     jnp.uint32(threshold & 0xFFFFFFFF))
+        self._own = own
+        self._extra = extra
+        self._tile_p = own + extra
+        self._guess = sel_cap_guess
+        self._kguess = kmer_cap_guess
+        self._select_all = select_all
+        self._dedup = dedup
+        self._window = window
+        self._parts = []
+        self._pending = []
+        self._next_tile = 0
+        self._entry = None
+        self.failed = False
+        self.uniques_list = [] if dedup else None
+        for _ in range(min(window, n_tiles)):
+            self._dispatch_one()
+
+    def _dispatch_one(self):
+        t = self._next_tile
+        self._next_tile += 1
+        k, m = self._k, self._m
+        own, P_t = self._own, self._tile_p
+        b0 = (t * own) >> 2
+        ext = jnp.asarray(self._slab[b0 : b0 + ((P_t + 128) >> 2)])
+        last = t == self._n_tiles - 1
+        len_local = self._L - t * own
+        # non-final tiles cap last_i at own-1 (the carry handoff point)
+        length_t = len_local if last else (own + k)
+        ft = device_scan_field_packed(ext[32:], k, m, P_t,
+                                      jnp.int32(length_t), t == 0)
+        entry = (field_entry_init(ft, *self._thr) if t == 0
+                 else self._entry)
+        cap = _pow2_ge(own if self._select_all else self._guess)
+        arr = resolve_field(ft, k, m, cap, entry, *self._thr)
+        self._entry = field_carry(arr, own)
+        K = 0
+        if self._dedup:
+            K = _pow2_ge(own if self._select_all else self._kguess)
+            arr = field_dedup_packed(
+                arr, cap, ext, jnp.int32(len_local if last else -1),
+                k, m, P_t + 128, K)
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending.append((t, ft, entry, ext, cap, K, arr))
+
+    def _fetch_one(self):
+        t, ft, entry, ext, cap, K, arr = self._pending.pop(0)
+        a = jax.device_get(arr)
+        if int(a[0]) != 0:
+            self.failed = True
+            return
+        n_sel = int(a[1])
+        n_kmers = int(a[12 + 4 * cap]) if self._dedup else 0
+        while n_sel > cap or (self._dedup and n_kmers > K):
+            cap = max(_pow2_ge(max(n_sel, 1)), cap)
+            arr = resolve_field(ft, self._k, self._m, cap, entry,
+                                *self._thr)
+            if self._dedup:
+                K = max(K, _pow2_ge(max(
+                    n_kmers,
+                    (n_sel + 1) * (self._k - self._m + 1))))
+                last = t == self._n_tiles - 1
+                arr = field_dedup_packed(
+                    arr, cap, ext,
+                    jnp.int32((self._L - t * self._own) if last else -1),
+                    self._k, self._m, self._tile_p + 128, K)
+            a = jax.device_get(arr)
+            n_sel = int(a[1])
+            n_kmers = int(a[12 + 4 * cap]) if self._dedup else 0
+        if self._dedup:
+            _st, comp, _ns, n_kmers, uniques = parse_field_dedup_array(
+                a, cap, K)
+            self.uniques_list.append(uniques)
+            self._kguess = max(8192, 2 * n_kmers)
+            self.n_kmers = n_kmers
+        else:
+            _st, comp, _ns = parse_field_array(a, cap)
+        if not self._select_all:
+            self._guess = max(4096, 2 * n_sel)
+        self._parts.append((t, comp))
+
+    def compact(self):
+        while self._next_tile < self._n_tiles and not self.failed:
+            if len(self._pending) >= self._window:
+                self._fetch_one()
+            self._dispatch_one()
+        while self._pending and not self.failed:
+            self._fetch_one()
+        if self.failed:
+            return self._fallback_compact()
+        pos_l, last_l, val_l, rev_l = [], [], [], []
+        n_ev = 0
+        tail = (0, False, False)
+        last_ev_pos = -1
+        for t, comp in self._parts:
+            (sp, sl, sv, sr, ev_t, last_pos_t, tv, tr, ts) = comp
+            base = t * self._own
+            pos_l.append(sp + base)
+            last_l.append(sl + base)
+            val_l.append(sv)
+            rev_l.append(sr)
+            n_ev += ev_t
+            if t == self._n_tiles - 1:
+                tail = (tv, tr, ts)
+                last_ev_pos = last_pos_t + base
+        self.n_sel = sum(a.size for a in pos_l)
+        return (np.concatenate(pos_l), np.concatenate(last_l),
+                np.concatenate(val_l), np.concatenate(rev_l), n_ev,
+                last_ev_pos, tail[0], tail[1], tail[2])
+
+    def _fallback_compact(self):
+        """Exact re-run through the legacy walker path."""
+        self._pending.clear()
+        legacy = TiledDeviceChain(
+            self._slab, self._n_tiles, self._k, self._m, self._L,
+            self._thrv, sel_cap_guess=self._guess,
+            select_all=self._select_all, own=self._own,
+            extra=self._extra, dedup=self._dedup,
+            kmer_cap_guess=self._kguess)
+        comp = legacy.compact()
+        self.n_sel = legacy.n_sel
+        if self._dedup:
+            self.uniques_list = legacy.uniques_list
+        return comp
+
+
 class TpuSubsampler(OracleSubsampler):
     """Sketch builder whose streaming scan runs on the TPU.
 
@@ -258,6 +415,10 @@ class TpuSubsampler(OracleSubsampler):
     # dominate; off for sparse selection where the extra device pass
     # costs more than it saves.
     device_dedup = None
+    # scan engine: "field" = sync-field resolution (ops/field.py, the
+    # fast walker-free default, with automatic legacy fallback);
+    # "legacy" = successor tables + serial Pallas walker.
+    scan_engine = "field"
 
     def _dedup_on(self) -> bool:
         if self.device_dedup is None:
@@ -277,6 +438,22 @@ class TpuSubsampler(OracleSubsampler):
         margin = 2 * (2 * k - m + 2) + 128
         thr = self.threshold
         dedup = self._dedup_on()
+        if self.scan_engine == "field" and L + margin > 1024:
+            if L + margin <= self._tile_own:
+                own = max(padded_size(L, margin), 2048)
+                n_tiles = 1
+            else:
+                own = self._tile_own
+                n_tiles = max(1, -(-(L - k) // own))
+            slab = np.zeros(128 + n_tiles * own + self._tile_extra,
+                            dtype=np.uint8)
+            slab[128 : 128 + L] = codes_np
+            sel_guess = (own if self.s <= 1 else self._sel_cap_guess)
+            return FieldChain(
+                pack_2bit_np(slab), n_tiles, k, m, L, thr, own,
+                self._tile_extra, sel_cap_guess=sel_guess,
+                kmer_cap_guess=self._kmer_cap_guess,
+                select_all=self.s <= 1, dedup=dedup)
         if L + margin <= self._tile_own:
             P = padded_size(L, margin)
             if self.s <= 1:
