@@ -88,11 +88,40 @@ def main():
         packed_in.append(pack_2bit_np(c))
 
     # --- kernel: data-resident difference timing -----------------------
+    # (a) the sync-field engine (the product default, ops/field.py)
+    from supersampler_tpu.ops.field import field_entry_init, resolve_field
+    from supersampler_tpu.sketch.pipeline import device_scan_field_packed
+
+    ext_in = []
+    for codes in record_codes:
+        c = np.zeros(PAD + 128, np.uint8)
+        c[128 : 128 + glen] = codes
+        ext_in.append(pack_2bit_np(c))
+    ext_dev = [jax.device_put(p) for p in ext_in]
     packed_dev = [jax.device_put(p) for p in packed_in]
     # force the H2D transfers to complete before timing anything
-    for p in packed_dev:
+    for p in ext_dev + packed_dev:
         np.asarray(jnp.sum(p.astype(jnp.uint32)))
+    thi, tlo = jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF)
 
+    def drain_field(n):
+        t0 = time.perf_counter()
+        arr = None
+        for i in range(n):
+            ft = device_scan_field_packed(
+                ext_dev[i % NREC][32:], K, M, PAD, jnp.int32(glen), True)
+            entry = field_entry_init(ft, thi, tlo)
+            arr = resolve_field(ft, K, M, 4096, entry, thi, tlo)
+        jax.device_get(arr)     # drains the in-order device queue
+        return time.perf_counter() - t0
+
+    drain_field(2)              # compile + warm
+    tf_s, f_short = _stats([drain_field(NREC) for _ in range(TRIALS)])
+    tf_l, f_long = _stats([drain_field(2 * NREC) for _ in range(TRIALS)])
+    field_dt = max(tf_l - tf_s, 1e-9)
+    kernel_mbps = NREC * glen / 1e6 / field_dt
+
+    # (b) the legacy successor-table + serial-walker engine (fallback)
     def drain(n):
         t0 = time.perf_counter()
         dc = None
@@ -107,7 +136,7 @@ def main():
     t_short, short_st = _stats([drain(NREC) for _ in range(TRIALS)])
     t_long, long_st = _stats([drain(2 * NREC) for _ in range(TRIALS)])
     kernel_dt = max(t_long - t_short, 1e-9)
-    kernel_mbps = NREC * glen / 1e6 / kernel_dt
+    legacy_mbps = NREC * glen / 1e6 / kernel_dt
 
     # --- device path (rounds 1-2 protocol: H2D inside the loop) --------
     def device_path_once():
@@ -203,8 +232,13 @@ def main():
             "kernel_mbases_s": round(kernel_mbps, 1),
             "kernel_vs_baseline": round(
                 kernel_mbps / BASELINE_CPU_8T_MBASES_S, 3),
-            "kernel": {"short": short_st, "long": long_st,
-                       "diff_s": round(kernel_dt, 4)},
+            "kernel": {"short": f_short, "long": f_long,
+                       "diff_s": round(field_dt, 4),
+                       "engine": "sync-field"},
+            "legacy_kernel_mbases_s": round(legacy_mbps, 1),
+            "legacy_kernel": {"short": short_st, "long": long_st,
+                              "diff_s": round(kernel_dt, 4),
+                              "engine": "succ-tables+walker"},
             "device_path_mbases_s": round(device_mbps, 1),
             "device_path_vs_baseline": round(
                 device_mbps / BASELINE_CPU_8T_MBASES_S, 3),

@@ -139,67 +139,77 @@ def decode_sketch_pairs(path: str):
     Returns (mins u64[], hi u64[], lo u64[], k, m, minimizer_set) where
     arrays are deduplicated per (minimizer, kmer) as the reference's
     per-bucket color/skip maps do (Comparator.cpp:97-264).
+
+    k-mer extraction is batched ACROSS buckets (all maximal super-k-mers
+    share one row length; plaintext ones group by length), so the
+    rolling-window cost is a handful of big numpy passes instead of
+    thousands of tiny per-bucket ones.
     """
     sk = SketchFile(path)
     k, m = sk.k, sk.m
     half = k - m
-    mins_l: List[np.ndarray] = []
-    his_l: List[np.ndarray] = []
-    los_l: List[np.ndarray] = []
     bucket_minimizers: List[int] = []
-    for mval, blob, lines in sk.iter_buckets():
+    max_rows: List[np.ndarray] = []
+    max_bids: List[np.ndarray] = []
+    plain = {}   # row length -> (bids list, rows list)
+    for bid, (mval, blob, lines) in enumerate(sk.iter_buckets()):
         bucket_minimizers.append(mval)
         mcodes = np.empty(m, dtype=np.uint8)
         v = mval
         for j in range(m - 1, -1, -1):
             mcodes[j] = v & 3
             v >>= 2
-        row_his: List[np.ndarray] = []
-        row_los: List[np.ndarray] = []
         codes = blob_to_codes(blob)
         n_sk = codes.size // (2 * half) if half > 0 else 0
         if n_sk > 0:
             halves = codes[: n_sk * 2 * half].reshape(n_sk, 2 * half)
-            full = np.concatenate(
+            rows = np.concatenate(
                 [halves[:, :half],
                  np.broadcast_to(mcodes, (n_sk, m)),
                  halves[:, half:]], axis=1)
-            hi, lo = canonical_kmers(full, k)
-            row_his.append(hi.ravel())
-            row_los.append(lo.ravel())
-        # plaintext super-k-mers, grouped by length for batching
-        by_len = {}
+            max_rows.append(rows)
+            max_bids.append(np.full(n_sk, bid, np.int64))
         for i in range(0, len(lines), 2):
             left = NUC2INT_LUT[np.frombuffer(lines[i], dtype=np.uint8)]
-            right = NUC2INT_LUT[np.frombuffer(lines[i + 1], dtype=np.uint8)]
+            right = NUC2INT_LUT[np.frombuffer(lines[i + 1],
+                                              dtype=np.uint8)]
             seq = np.concatenate([left, mcodes, right])
-            by_len.setdefault(seq.size, []).append(seq)
-        for size, seqs in by_len.items():
-            if size < k:
-                continue
-            arr = np.stack(seqs)
-            hi, lo = canonical_kmers(arr, k)
-            row_his.append(hi.ravel())
-            row_los.append(lo.ravel())
-        if not row_his:
-            continue
-        hi = np.concatenate(row_his)
-        lo = np.concatenate(row_los)
-        # dedup within the bucket
-        order = np.lexsort((lo, hi))
-        hi, lo = hi[order], lo[order]
-        keep = np.ones(hi.size, dtype=bool)
-        keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
-        hi, lo = hi[keep], lo[keep]
-        mins_l.append(np.full(hi.size, mval, dtype=U64))
-        his_l.append(hi)
-        los_l.append(lo)
-    if mins_l:
-        mins = np.concatenate(mins_l)
-        his = np.concatenate(his_l)
-        los = np.concatenate(los_l)
-    else:
-        mins = np.zeros(0, dtype=U64)
-        his = np.zeros(0, dtype=U64)
-        los = np.zeros(0, dtype=U64)
+            if seq.size >= k:
+                bids, rows = plain.setdefault(seq.size, ([], []))
+                bids.append(bid)
+                rows.append(seq)
+
+    bid_l: List[np.ndarray] = []
+    his_l: List[np.ndarray] = []
+    los_l: List[np.ndarray] = []
+    if max_rows:
+        rows = np.concatenate(max_rows)
+        bids = np.concatenate(max_bids)
+        hi, lo = canonical_kmers(rows, k)
+        nw = hi.shape[1]
+        bid_l.append(np.repeat(bids, nw))
+        his_l.append(hi.ravel())
+        los_l.append(lo.ravel())
+    for size, (bids, rows) in plain.items():
+        arr = np.stack(rows)
+        hi, lo = canonical_kmers(arr, k)
+        nw = hi.shape[1]
+        bid_l.append(np.repeat(np.asarray(bids, np.int64), nw))
+        his_l.append(hi.ravel())
+        los_l.append(lo.ravel())
+    if not bid_l:
+        z = np.zeros(0, dtype=U64)
+        return z, z.copy(), z.copy(), k, m, set(bucket_minimizers)
+
+    bids = np.concatenate(bid_l)
+    his = np.concatenate(his_l)
+    los = np.concatenate(los_l)
+    # global dedup per (bucket, kmer)
+    order = np.lexsort((los, his, bids))
+    bids, his, los = bids[order], his[order], los[order]
+    keep = np.ones(his.size, dtype=bool)
+    keep[1:] = ((bids[1:] != bids[:-1]) | (his[1:] != his[:-1])
+                | (los[1:] != los[:-1]))
+    bids, his, los = bids[keep], his[keep], los[keep]
+    mins = np.asarray(bucket_minimizers, dtype=U64)[bids]
     return mins, his, los, k, m, set(bucket_minimizers)

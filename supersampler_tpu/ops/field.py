@@ -41,6 +41,8 @@ _U32 = jnp.uint32
 _FF = jnp.uint32(0xFFFFFFFF)
 _B = 256                 # resolution block size (loop positions)
 _MAX_PASSES = 4          # sweep-2 iterations (syncless-run budget)
+_UNROLL = 8              # columns per fori iteration (TPU while_loop
+                         # overhead is ~us-scale per iteration)
 
 
 class FieldTables(NamedTuple):
@@ -185,64 +187,57 @@ class FieldState(NamedTuple):
     n_ev: jnp.ndarray    # i32 events so far in this lane's resolved part
 
 
-def _sweep(t: FieldTables, W: int, n_blk: int, state0: FieldState,
-           start, end, active_lane, ev_flag, ev_prev_val, ev_prev_last,
-           force_entry: bool, thr_hi, thr_lo):
+def _transpose_tables(t: FieldTables, n_blk: int):
+    """Column-major (B, n_blk) views of the per-position arrays, so the
+    sweep's lax.scan consumes one column per step with no in-loop
+    slicing (a dynamic update on a loop-carried (n_blk, B) array costs
+    a copy per column on TPU)."""
+    tr = lambda a: a.reshape(n_blk, _B).T
+    return (tr(t.h_hi), tr(t.h_lo), tr(t.cv), tr(t.em), tr(t.ep),
+            tr(t.eh_hi), tr(t.eh_lo))
+
+
+def _sweep(tT, last_i, W: int, n_blk: int, state0: FieldState,
+           start, end, active_lane, force_entry: bool, thr_hi, thr_lo):
     """Run the machine over columns [start, end) of every active lane.
 
-    start/end: (n_blk,) i32 column bounds per lane. When force_entry,
-    an adoption is forced at column == start (the sync theorem's entry;
-    its emit bookkeeping is deferred — ev_prev_last records -2).
-    Returns (exit_state, ev arrays). Event records are DENSE per
-    column: flag + the PREVIOUS event's payload (val|rev<<30|sel<<31)
-    and last_position — exactly what boundary emits need.
-    """
-    B = _B
-    h_hi = t.h_hi.reshape(n_blk, B)
-    h_lo = t.h_lo.reshape(n_blk, B)
-    cv = t.cv.reshape(n_blk, B)
-    em = t.em.reshape(n_blk, B)
-    ep = t.ep.reshape(n_blk, B)
-    eh_hi = t.eh_hi.reshape(n_blk, B)
-    eh_lo = t.eh_lo.reshape(n_blk, B)
-    lane_base = jnp.arange(n_blk, dtype=_I32) * B
+    tT: transposed tables from _transpose_tables. start/end: (n_blk,)
+    i32 column bounds per lane. When force_entry, an adoption is forced
+    at column == start (the sync theorem's entry; its emit bookkeeping
+    is deferred — prev_last records -2).
 
-    def body(r, carry):
-        st, ef, epv, epl = carry
+    Returns (exit_state, ev(B, n_blk), prev_val(B, n_blk),
+    prev_last(B, n_blk)): per-event flag + the PREVIOUS event's payload
+    (val|rev<<30|sel<<31) and last_position — what boundary emits need.
+    Outputs are lax.scan-stacked; the caller merges sweeps (each
+    position fires in exactly one ACTIVE sweep).
+    """
+    h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT = tT
+    lane_base = jnp.arange(n_blk, dtype=_I32) * _B
+    rs = jnp.arange(_B, dtype=_I32)
+
+    def step(st, xs):
+        r, nh_hi, nh_lo, cv_c, em_c, ep_c, ehh_c, ehl_c = xs
         j = lane_base + r
-        act = active_lane & (r >= start) & (r < end) & (j <= t.last_i)
+        act = active_lane & (r >= start) & (r < end) & (j <= last_i)
         is_entry = act & (r == start) if force_entry else \
             jnp.zeros_like(act)
-        nh_hi = jax.lax.dynamic_slice_in_dim(h_hi, r, 1, 1)[:, 0]
-        nh_lo = jax.lax.dynamic_slice_in_dim(h_lo, r, 1, 1)[:, 0]
         lt = (nh_hi < st.h_hi) | ((nh_hi == st.h_hi)
                                   & (nh_lo < st.h_lo))
         adopt = (act & lt) | is_entry
         expiry = act & ~adopt & (j >= st.p)
         ev = adopt | expiry
 
-        col = lambda a: jax.lax.dynamic_slice_in_dim(a, r, 1, 1)[:, 0]
-        new_hh = jnp.where(adopt, nh_hi, col(eh_hi))
-        new_hl = jnp.where(adopt, nh_lo, col(eh_lo))
+        new_hh = jnp.where(adopt, nh_hi, ehh_c)
+        new_hl = jnp.where(adopt, nh_lo, ehl_c)
         sel = ((new_hh < thr_hi)
                | ((new_hh == thr_hi) & (new_hl <= thr_lo)))
-        new_val = (jnp.where(adopt, col(cv), col(em))
+        new_val = (jnp.where(adopt, cv_c, em_c)
                    | (sel.astype(_U32) << 31))
-        new_p = jnp.where(adopt, j + W, col(ep) + j + 1)
+        new_p = jnp.where(adopt, j + W, ep_c + j + 1)
 
-        # record: the event at j closes the super-k-mer carrying the
-        # PREVIOUS payload (ev_prev_*); entry events defer (-2 marker).
-        # Read-modify-write: other sweeps' records in this column must
-        # survive (each position is written by exactly one ACTIVE sweep)
         prev_val = st.val
         prev_last = jnp.where(is_entry, -2, st.last_ev + 1)
-        ef = jax.lax.dynamic_update_slice_in_dim(
-            ef, (ev | col(ef))[:, None], r, 1)
-        epv = jax.lax.dynamic_update_slice_in_dim(
-            epv, jnp.where(ev, prev_val, col(epv))[:, None], r, 1)
-        epl = jax.lax.dynamic_update_slice_in_dim(
-            epl, jnp.where(ev, prev_last, col(epl))[:, None], r, 1)
-
         st = FieldState(
             val=jnp.where(ev, new_val, st.val),
             h_hi=jnp.where(ev, new_hh, st.h_hi),
@@ -250,11 +245,13 @@ def _sweep(t: FieldTables, W: int, n_blk: int, state0: FieldState,
             p=jnp.where(ev, new_p, st.p),
             last_ev=jnp.where(ev, j, st.last_ev),
             n_ev=st.n_ev + ev.astype(_I32))
-        return st, ef, epv, epl
+        return st, (ev, jnp.where(ev, prev_val, 0),
+                    jnp.where(ev, prev_last, -1))
 
-    out = jax.lax.fori_loop(0, B, body,
-                            (state0, ev_flag, ev_prev_val, ev_prev_last))
-    return out
+    st, (ev, pval, plast) = jax.lax.scan(
+        step, state0, (rs, h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT),
+        unroll=_UNROLL)
+    return st, ev, pval, plast
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -296,14 +293,12 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
         p=jnp.zeros((n_blk,), _I32),
         last_ev=jnp.full((n_blk,), -1, _I32),
         n_ev=jnp.zeros((n_blk,), _I32))
-    ev_flag = jnp.zeros((n_blk, B), bool)
-    ev_pval = jnp.zeros((n_blk, B), _U32)
-    ev_plast = jnp.full((n_blk, B), -1, _I32)
+    tT = _transpose_tables(t, n_blk)
 
     # ---- sweep 1: suffixes from each block's first sync ----
     st1, ev_flag, ev_pval, ev_plast = _sweep(
-        t, W, n_blk, zst, fs, jnp.full((n_blk,), B, _I32), has_sync,
-        ev_flag, ev_pval, ev_plast, True, thr_hi, thr_lo)
+        tT, t.last_i, W, n_blk, zst, fs, jnp.full((n_blk,), B, _I32),
+        has_sync, True, thr_hi, thr_lo)
 
     exit_val = st1.val
     exit_hh = st1.h_hi
@@ -340,9 +335,12 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
             p=pred(exit_p, ent_p),
             last_ev=pred(exit_le, ent_le),
             n_ev=jnp.zeros((n_blk,), _I32))
-        st2, ev_flag, ev_pval, ev_plast = _sweep(
-            t, W, n_blk, st0, jnp.zeros((n_blk,), _I32), fs, can,
-            ev_flag, ev_pval, ev_plast, False, thr_hi, thr_lo)
+        st2, ev2, pv2, pl2 = _sweep(
+            tT, t.last_i, W, n_blk, st0, jnp.zeros((n_blk,), _I32), fs,
+            can, False, thr_hi, thr_lo)
+        ev_flag = ev_flag | ev2
+        ev_pval = jnp.where(ev2, pv2, ev_pval)
+        ev_plast = jnp.where(ev2, pl2, ev_plast)
         prefix_ev = jnp.where(can, st2.n_ev, prefix_ev)
         pre_val = jnp.where(can, st2.val, pre_val)
         pre_le = jnp.where(can, st2.last_ev, pre_le)
@@ -361,17 +359,19 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
     # ---- resolve the deferred entry emits: each sync event closes the
     # super-k-mer carried at the end of ITS OWN prefix (which equals
     # the predecessor's exit when the prefix had no events) ----
-    # out-of-bounds column B drops the write for non-sync lanes
+    # ev arrays are (B, n_blk); out-of-bounds column B drops the write
+    # for non-sync lanes
     cols_ = jnp.where(has_sync, fs, B)
-    ev_pval = ev_pval.at[lanes, cols_].set(pre_val, mode="drop")
-    ev_plast = ev_plast.at[lanes, cols_].set(pre_le + 1, mode="drop")
+    ev_pval = ev_pval.at[cols_, lanes].set(pre_val, mode="drop")
+    ev_plast = ev_plast.at[cols_, lanes].set(pre_le + 1, mode="drop")
 
     # ---- selected-boundary compaction (9-tuple compact contract) ----
     # the prev payload word carries its sel bit (bit 31, stored when
-    # the previous event installed it)
-    flat_flag = ev_flag.reshape(-1)
-    flat_pval = ev_pval.reshape(-1)
-    flat_plast = ev_plast.reshape(-1)
+    # the previous event installed it); transpose back to position-
+    # major order for the emit extraction
+    flat_flag = ev_flag.T.reshape(-1)
+    flat_pval = ev_pval.T.reshape(-1)
+    flat_plast = ev_plast.T.reshape(-1)
     sel_mask = flat_flag & ((flat_pval >> 31) == 1)
     n_sel = jnp.sum(sel_mask).astype(_I32)
     n_ev = jnp.sum(suffix_ev) + jnp.sum(prefix_ev) + entry[5]
