@@ -59,3 +59,43 @@ def test_eval_error_csv(tmp_path):
     # mean(simka_sim)=mean(1-d)=0.8? simka read: 1-x on numeric cols
     assert typ == "error" and key == "1000" and tool == "SuperSampler_decycling"
     assert abs(float(val) - abs(0.8 - 0.75)) < 1e-12
+
+
+def test_eval_norms_matches_notebook(tmp_path, capsys):
+    """eval/norms.py == the reference notebook's lower-triangle stats,
+    L1/L2 norms and harmonic means (Stats_SPSP.ipynb cells 1-14)."""
+    import numpy as np
+
+    from supersampler_tpu.eval import norms
+
+    rng = np.random.default_rng(0)
+    n = 6
+    a = rng.random((n, n)); a = (a + a.T) / 2; np.fill_diagonal(a, 1)
+    b = a + rng.normal(0, 0.01, (n, n)); b = (b + b.T) / 2
+    np.fill_diagonal(b, 1)
+
+    def write(p, mat):
+        with open(p, "w") as f:
+            f.write(",".join(f"f{i}.gz" for i in range(n)) + "\n")
+            for row in mat:
+                f.write(",".join(str(v) for v in row) + "\n")
+
+    pa, pb = tmp_path / "a.csv", tmp_path / "b.csv"
+    write(pa, a); write(pb, b)
+
+    out = norms.compare_matrices(norms.load_matrix(str(pa)),
+                                 norms.load_matrix(str(pb)))
+    # notebook ground truth, computed directly
+    la = a[np.tril_indices_from(a, k=-1)]
+    lb = b[np.tril_indices_from(b, k=-1)]
+    diff = np.abs(la - lb)
+    assert abs(out["norm1"] - np.linalg.norm(diff, 1)) < 1e-12
+    assert abs(out["norm2"] - np.linalg.norm(diff, 2)) < 1e-12
+    assert abs(out["diff_mean"] - diff.mean()) < 1e-12
+    # cells 2-3 formula incl. its **1/exp precedence quirk
+    for e in (1, 2, 3):
+        want = (diff.size / abs(np.sum(1 / diff**e))) ** 1 / e
+        assert abs(out[f"harmonic_{e}"] - want) < 1e-9
+
+    assert norms.main([str(pa), str(pb)]) == 0
+    assert "norm1" in capsys.readouterr().out
