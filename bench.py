@@ -119,9 +119,11 @@ def main():
     tf_s, f_short = _stats([drain_field(NREC) for _ in range(TRIALS)])
     tf_l, f_long = _stats([drain_field(2 * NREC) for _ in range(TRIALS)])
     field_dt = max(tf_l - tf_s, 1e-9)
-    kernel_mbps = NREC * glen / 1e6 / field_dt
+    field_mbps = NREC * glen / 1e6 / field_dt
 
-    # (b) the legacy successor-table + serial-walker engine (fallback)
+    # (b) the successor-table + serial-walker engine (the default: the
+    # field engine's sweeps hit this platform's ~90us/iteration XLA
+    # loop overhead, see pipeline.TpuSubsampler.scan_engine)
     def drain(n):
         t0 = time.perf_counter()
         dc = None
@@ -136,7 +138,7 @@ def main():
     t_short, short_st = _stats([drain(NREC) for _ in range(TRIALS)])
     t_long, long_st = _stats([drain(2 * NREC) for _ in range(TRIALS)])
     kernel_dt = max(t_long - t_short, 1e-9)
-    legacy_mbps = NREC * glen / 1e6 / kernel_dt
+    kernel_mbps = NREC * glen / 1e6 / kernel_dt
 
     # --- device path (rounds 1-2 protocol: H2D inside the loop) --------
     def device_path_once():
@@ -232,13 +234,24 @@ def main():
             "kernel_mbases_s": round(kernel_mbps, 1),
             "kernel_vs_baseline": round(
                 kernel_mbps / BASELINE_CPU_8T_MBASES_S, 3),
-            "kernel": {"short": f_short, "long": f_long,
-                       "diff_s": round(field_dt, 4),
-                       "engine": "sync-field"},
-            "legacy_kernel_mbases_s": round(legacy_mbps, 1),
-            "legacy_kernel": {"short": short_st, "long": long_st,
-                              "diff_s": round(kernel_dt, 4),
-                              "engine": "succ-tables+walker"},
+            "kernel": {"short": short_st, "long": long_st,
+                       "diff_s": round(kernel_dt, 4),
+                       "engine": "succ-tables+walker (default)"},
+            "field_kernel_mbases_s": round(field_mbps, 1),
+            "field_kernel": {"short": f_short, "long": f_long,
+                             "diff_s": round(field_dt, 4),
+                             "engine": "sync-field (opt-in)"},
+            "roofline": {
+                "note": "kernel split (measured r3): scan ~6ms/4.2Mbp "
+                        "+ serial walk ~15.7ms (385k events @ ~40ns "
+                        "on the scalar core) + compact ~1ms. The "
+                        "sync-field engine removes the serial walk "
+                        "algorithmically but its lockstep sweeps pay "
+                        "~90us/iteration XLA while-loop overhead on "
+                        "this remote TPU runtime; moving them into a "
+                        "Mosaic kernel (native loops) is the next "
+                        "lever toward the 10x north-star.",
+            },
             "device_path_mbases_s": round(device_mbps, 1),
             "device_path_vs_baseline": round(
                 device_mbps / BASELINE_CPU_8T_MBASES_S, 3),

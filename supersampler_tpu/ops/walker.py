@@ -422,6 +422,10 @@ class DeviceChain:
                 self._cap,
                 jax.lax.bitcast_convert_type(fb[0], jnp.uint32),
                 fb[1] != 0)
+            # begin the D2H copy as soon as the compact materializes:
+            # the host link costs ~23 ms latency per fetch, which this
+            # hides behind subsequent dispatches
+            self.start_fetch()
 
     def compact_outs(self, sel_cap: int):
         """Device-resident _compact_emits outputs (dedup path input)."""

@@ -106,6 +106,7 @@ class DedupDeviceChain:
         self._arr = dedup_chain_packed(
             outs, self._dc.scal, self._packed_ext, jnp.int32(self._len),
             self._k, self._m, self._P_ext, self._K)
+        self.start_fetch()
 
     def carry(self, own: int):
         return self._dc.carry(own)
@@ -415,10 +416,13 @@ class TpuSubsampler(OracleSubsampler):
     # dominate; off for sparse selection where the extra device pass
     # costs more than it saves.
     device_dedup = None
-    # scan engine: "field" = sync-field resolution (ops/field.py, the
-    # fast walker-free default, with automatic legacy fallback);
-    # "legacy" = successor tables + serial Pallas walker.
-    scan_engine = "field"
+    # scan engine: "legacy" = successor tables + serial Pallas walker;
+    # "field" = sync-field resolution (ops/field.py) — walker-free and
+    # exact, but its lockstep sweeps currently run as XLA fori loops,
+    # which cost ~90us/iteration through this TPU's remote runtime
+    # (measured r3), so the walker path stays the default until the
+    # sweeps move into a Mosaic kernel. Both engines are golden-tested.
+    scan_engine = "legacy"
 
     def _dedup_on(self) -> bool:
         if self.device_dedup is None:
@@ -535,7 +539,15 @@ class TpuSubsampler(OracleSubsampler):
             return None
         window = 4
         pending = collections.deque()
-        with concurrent.futures.ThreadPoolExecutor(1) as fetcher:
+        # three-way pipeline: the launcher thread packs + dispatches
+        # record n+1 while the fetch thread drains record n-w's compact
+        # and the main thread assembles record n-w (numpy/zlib release
+        # the GIL, so the stages genuinely overlap)
+        with concurrent.futures.ThreadPoolExecutor(1) as fetcher, \
+                concurrent.futures.ThreadPoolExecutor(1) as launcher:
+            def launch_then_fetch(lfut):
+                return self._fetch(lfut.result())
+
             for ref_bytes in iter_fasta_records(input_path):
                 ref = ref_bytes
                 if len(ref) < k:
@@ -546,8 +558,9 @@ class TpuSubsampler(OracleSubsampler):
                     if len(pending) >= window:
                         r, fut = pending.popleft()
                         self._assemble_from(r, fut.result())
-                    dc = self._launch_scan(ref)
-                    pending.append((ref, fetcher.submit(self._fetch, dc)))
+                    lfut = launcher.submit(self._launch_scan, ref)
+                    pending.append(
+                        (ref, fetcher.submit(launch_then_fetch, lfut)))
             while pending:
                 r, fut = pending.popleft()
                 self._assemble_from(r, fut.result())

@@ -67,6 +67,30 @@ def test_field_matches_legacy(L, s, seed, k, m, kind):
             i, np.asarray(a), np.asarray(b))
 
 
+def test_field_pipeline_end_to_end():
+    """Full sketch through the field engine (single + tiled + dedup) ==
+    oracle bytes."""
+    from supersampler_tpu.oracle.subsampler import OracleSubsampler
+    from supersampler_tpu.sketch.pipeline import TpuSubsampler
+
+    class FieldSub(TpuSubsampler):
+        scan_engine = "field"
+
+    class FieldTiledSub(FieldSub):
+        _tile_own = 2048
+        _tile_extra = 512
+
+    rng = np.random.default_rng(23)
+    ref = "".join("ACGT"[c] for c in rng.integers(0, 4, 9000))
+    for cls, s in ((FieldSub, 20.0), (FieldSub, 2.0),
+                   (FieldTiledSub, 20.0), (FieldTiledSub, 1.0)):
+        oracle = OracleSubsampler(k=31, m=11, s=s)
+        oracle.scan_sequence(ref)
+        ss = cls(k=31, m=11, s=s)
+        ss.scan_sequence(ref)
+        assert ss.serialize() == oracle.serialize(), (cls.__name__, s)
+
+
 def test_field_fallback_on_sync_desert():
     """A multi-kilobase homopolymer has no strict hash minima, starving
     the sync decomposition past its pass budget; the chain must flag
@@ -74,11 +98,14 @@ def test_field_fallback_on_sync_desert():
     from supersampler_tpu.oracle.subsampler import OracleSubsampler
     from supersampler_tpu.sketch.pipeline import FieldChain, TpuSubsampler
 
+    class FieldSub(TpuSubsampler):
+        scan_engine = "field"
+
     rng = np.random.default_rng(13)
     ref = ("".join("ACGT"[c] for c in rng.integers(0, 4, 500))
            + "T" * 3000
            + "".join("ACGT"[c] for c in rng.integers(0, 4, 500)))
-    ss = TpuSubsampler(k=31, m=11, s=2.0)
+    ss = FieldSub(k=31, m=11, s=2.0)
     dc = ss._launch_scan(ref.encode())
     assert isinstance(dc, FieldChain)
     ss._finish_scan(ref, dc)
