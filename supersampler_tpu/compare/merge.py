@@ -96,11 +96,21 @@ class TpuComparator:
         his = np.concatenate(his_l) if his_l else np.zeros(0, U64)
         los = np.concatenate(los_l) if los_l else np.zeros(0, U64)
         fids = np.concatenate(fids_l) if fids_l else np.zeros(0, np.int64)
+        self._score_pairs(mins, his, los, fids, query_size,
+                          query_minimizers)
+
+    def _score_pairs(self, mins, his, los, fids, query_size: int,
+                     query_minimizers: Optional[Set[int]] = None) -> None:
+        """Score decoded (minimizer, k-mer, file) pair arrays — the
+        post-decode half of compare_sketches, also the entry point for
+        the multi-host path (parallel/dist.py), which gathers pair
+        arrays across hosts before scoring."""
+        n = self.nb_files
         if mins.size == 0:
             return
 
         # Query-mode bucket filter.
-        if query_size < n:
+        if query_size < n and query_minimizers is not None:
             qm = np.array(sorted(query_minimizers), dtype=U64)
             keep = np.isin(mins, qm)
             mins, his, los, fids = mins[keep], his[keep], los[keep], fids[keep]

@@ -342,10 +342,27 @@ def unpack_2bit(packed: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def pack_2bit_np(codes: np.ndarray) -> np.ndarray:
     """Host-side 4x compaction of 2-bit codes for the H2D transfer
-    (the host link, not HBM, bounds pipeline throughput)."""
-    c = codes.reshape(-1, 4)
-    return (c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4)
-            | (c[:, 3] << 6)).astype(np.uint8)
+    (the host link, not HBM, bounds pipeline throughput).
+
+    One u32 pass: 4 little-endian code bytes c0..c3 OR-fold into
+    c0|c1<<2|c2<<4|c3<<6 (codes < 4, so the shifted fields are
+    disjoint)."""
+    v = np.ascontiguousarray(codes).view(np.uint32)
+    return ((v | (v >> 6) | (v >> 12) | (v >> 18))
+            & np.uint32(0xFF)).astype(np.uint8)
+
+
+_ASCII2CODE = bytes.maketrans(b"ACTGactg", bytes([0, 1, 2, 3] * 2))
+
+
+def pack_ref_2bit(ref: bytes, padded: int, halo: int = 0) -> np.ndarray:
+    """ASCII reference -> 2-bit packed uint8[(halo+padded)/4], zero
+    padded, with `halo` zero positions prepended — the whole host
+    prep in two C-level passes (translate + pack) instead of a LUT
+    gather + copy + column shifts."""
+    buf = (b"\x00" * halo + ref.translate(_ASCII2CODE)
+           + b"\x00" * (padded - len(ref)))
+    return pack_2bit_np(np.frombuffer(buf, dtype=np.uint8))
 
 
 def scan_tables_2d_packed(packed: jnp.ndarray, k: int, m: int,

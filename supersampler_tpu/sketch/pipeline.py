@@ -19,7 +19,6 @@ import functools
 
 import jax
 
-from supersampler_tpu.core.scalar import NUC2INT_LUT
 from supersampler_tpu.ops import u64 as U
 from supersampler_tpu.ops.dedup import (dedup_chain_packed,
                                         field_dedup_packed,
@@ -29,7 +28,8 @@ from supersampler_tpu.ops.dedup import (dedup_chain_packed,
 from supersampler_tpu.ops.field import (field_carry, field_entry_init,
                                         parse_field_array, resolve_field,
                                         scan_field_2d_packed)
-from supersampler_tpu.ops.minimizer import (pack_2bit_np, scan_tables_2d,
+from supersampler_tpu.ops.minimizer import (pack_ref_2bit,
+                                            scan_tables_2d,
                                             scan_tables_2d_packed,
                                             walk_chain_host)
 from supersampler_tpu.ops.walker import DeviceChain, _pow2_ge
@@ -438,7 +438,6 @@ class TpuSubsampler(OracleSubsampler):
         L = len(ref)
         if isinstance(ref, str):
             ref = ref.encode()
-        codes_np = NUC2INT_LUT[np.frombuffer(ref, dtype=np.uint8)]
         margin = 2 * (2 * k - m + 2) + 128
         thr = self.threshold
         dedup = self._dedup_on()
@@ -449,12 +448,11 @@ class TpuSubsampler(OracleSubsampler):
             else:
                 own = self._tile_own
                 n_tiles = max(1, -(-(L - k) // own))
-            slab = np.zeros(128 + n_tiles * own + self._tile_extra,
-                            dtype=np.uint8)
-            slab[128 : 128 + L] = codes_np
+            slab = pack_ref_2bit(ref, n_tiles * own + self._tile_extra,
+                                 halo=128)
             sel_guess = (own if self.s <= 1 else self._sel_cap_guess)
             return FieldChain(
-                pack_2bit_np(slab), n_tiles, k, m, L, thr, own,
+                slab, n_tiles, k, m, L, thr, own,
                 self._tile_extra, sel_cap_guess=sel_guess,
                 kmer_cap_guess=self._kmer_cap_guess,
                 select_all=self.s <= 1, dedup=dedup)
@@ -466,16 +464,12 @@ class TpuSubsampler(OracleSubsampler):
             else:
                 guess = self._sel_cap_guess
             if not dedup:
-                codes = np.zeros(P, dtype=np.uint8)
-                codes[:L] = codes_np
                 return _scan_chain_packed(
-                    jnp.asarray(pack_2bit_np(codes)), k, m, P,
+                    jnp.asarray(pack_ref_2bit(ref, P)), k, m, P,
                     jnp.int32(L),
                     jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF),
                     sel_cap_guess=guess)
-            codes = np.zeros(P + 128, dtype=np.uint8)
-            codes[128 : 128 + L] = codes_np
-            packed_ext = jnp.asarray(pack_2bit_np(codes))
+            packed_ext = jnp.asarray(pack_ref_2bit(ref, P, halo=128))
             tables = device_scan_2d_packed(
                 packed_ext[32:], k, m, P, jnp.int32(L),
                 U.U64(jnp.uint32(thr >> 32),
@@ -486,11 +480,10 @@ class TpuSubsampler(OracleSubsampler):
                 sel_cap_guess=guess, kmer_cap_guess=kguess)
         own = self._tile_own
         n_tiles = max(1, -(-(L - k) // own))
-        slab = np.zeros(128 + n_tiles * own + self._tile_extra,
-                        dtype=np.uint8)
-        slab[128 : 128 + L] = codes_np
+        slab = pack_ref_2bit(ref, n_tiles * own + self._tile_extra,
+                             halo=128)
         return TiledDeviceChain(
-            pack_2bit_np(slab), n_tiles, k, m, L, thr,
+            slab, n_tiles, k, m, L, thr,
             sel_cap_guess=self._sel_cap_guess,
             select_all=self.s <= 1, own=own, extra=self._tile_extra,
             dedup=dedup,
