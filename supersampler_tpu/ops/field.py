@@ -31,6 +31,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from supersampler_tpu.ops import u64 as U
 from supersampler_tpu.ops.minimizer import _mmer_elect_block, _sl, _slh, \
@@ -254,6 +256,192 @@ def _sweep(tT, last_i, W: int, n_blk: int, state0: FieldState,
     return st, ev, pval, plast
 
 
+# ----------------------------------------------------------------------
+# Mosaic sweep kernel: the XLA scan above costs ~90us per loop
+# iteration through this TPU's remote runtime (measured r3); a Pallas
+# kernel runs the same column loop natively on-core. Grid is
+# (lane_chunks, col_chunks) with columns minor, so the per-lane machine
+# state lives in VMEM scratch across a lane chunk's column sequence.
+# ----------------------------------------------------------------------
+
+_LC = 2048               # lanes per chunk
+_CC = 32                 # columns per grid step
+
+
+def _sweep_kernel(li_ref, se_ref, st0_ref, hh_ref, hl_ref, cv_ref,
+                  em_ref, ep_ref, ehh_ref, ehl_ref,
+                  ev_ref, pv_ref, pl_ref, xs_ref, st, *, W, B, lc_sz,
+                  n_cc, force_entry):
+    lci, cc = pl.program_id(0), pl.program_id(1)
+    bc = lambda a, dt: jax.lax.bitcast_convert_type(a, dt)
+
+    @pl.when(cc == 0)
+    def _():
+        st[...] = st0_ref[...]
+
+    # all lane vectors are (1, lc) 2D rows
+    val = st[0:1, :]
+    h_hi = st[1:2, :]
+    h_lo = st[2:3, :]
+    p = bc(st[3:4, :], _I32)
+    last_ev = bc(st[4:5, :], _I32)
+    n_ev = bc(st[5:6, :], _I32)
+
+    start = se_ref[0:1, :]
+    end = se_ref[1:2, :]
+    active = se_ref[2:3, :] != 0
+    thr_hi = bc(li_ref[1], _U32)
+    thr_lo = bc(li_ref[2], _U32)
+    last_i = li_ref[0]
+    lane_j0 = ((lci * lc_sz + jax.lax.broadcasted_iota(
+        _I32, (1, lc_sz), 1)) * B)
+
+    for u in range(_CC):
+        r = cc * _CC + u
+        j = lane_j0 + r
+        act = active & (r >= start) & (r < end) & (j <= last_i)
+        nh_hi = hh_ref[u : u + 1, :]
+        nh_lo = hl_ref[u : u + 1, :]
+        lt = (nh_hi < h_hi) | ((nh_hi == h_hi) & (nh_lo < h_lo))
+        if force_entry:
+            adopt = (act & lt) | (act & (r == start))
+        else:
+            adopt = act & lt
+        expiry = act & (~adopt) & (j >= p)
+        ev = adopt | expiry
+
+        new_hh = jnp.where(adopt, nh_hi, ehh_ref[u : u + 1, :])
+        new_hl = jnp.where(adopt, nh_lo, ehl_ref[u : u + 1, :])
+        sel = ((new_hh < thr_hi)
+               | ((new_hh == thr_hi) & (new_hl <= thr_lo)))
+        new_val = (jnp.where(adopt, cv_ref[u : u + 1, :],
+                             em_ref[u : u + 1, :])
+                   | (sel.astype(_U32) << 31))
+        new_p = jnp.where(adopt, j + W, ep_ref[u : u + 1, :] + j + 1)
+
+        if force_entry:
+            prev_last = jnp.where(act & (r == start), -2, last_ev + 1)
+        else:
+            prev_last = last_ev + 1
+        ev_ref[u : u + 1, :] = ev.astype(_I32)
+        pv_ref[u : u + 1, :] = jnp.where(ev, val, 0)
+        pl_ref[u : u + 1, :] = jnp.where(ev, prev_last, -1)
+
+        val = jnp.where(ev, new_val, val)
+        h_hi = jnp.where(ev, new_hh, h_hi)
+        h_lo = jnp.where(ev, new_hl, h_lo)
+        p = jnp.where(ev, new_p, p)
+        last_ev = jnp.where(ev, j, last_ev)
+        n_ev = n_ev + ev.astype(_I32)
+
+    st[0:1, :] = val
+    st[1:2, :] = h_hi
+    st[2:3, :] = h_lo
+    st[3:4, :] = bc(p, _U32)
+    st[4:5, :] = bc(last_ev, _U32)
+    st[5:6, :] = bc(n_ev, _U32)
+
+    @pl.when(cc == n_cc - 1)
+    def _():
+        xs_ref[...] = st[0:6, :]
+
+
+def _sweep_pallas(tT, last_i, W: int, n_blk: int, state0: FieldState,
+                  start, end, active_lane, force_entry: bool,
+                  thr_hi, thr_lo, interpret: bool | None = None):
+    """Pallas version of _sweep, same outputs ((B, n_blk) major).
+
+    Lanes pad up to a _LC multiple with inactive lanes (they sit after
+    the real ones, so predecessor chaining is unaffected); outputs
+    slice back.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = _B
+    lc = min(_LC, n_blk)
+    n_real = n_blk
+    if n_blk % lc:
+        n_blk = (n_blk // lc + 1) * lc
+        padn = n_blk - n_real
+
+        def padt(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((B, padn), a.dtype)], axis=1)
+
+        tT = tuple(padt(a) for a in tT)
+
+        def padl(a, fill=0):
+            return jnp.concatenate(
+                [a, jnp.full((padn,), fill, a.dtype)])
+
+        start = padl(start)
+        end = padl(end)
+        active_lane = padl(active_lane, False)
+        state0 = FieldState(*(padl(f) for f in state0))
+    h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT = tT
+    n_lc = n_blk // lc
+    n_cc = B // _CC
+
+    li = jnp.stack([last_i.astype(_I32),
+                    jax.lax.bitcast_convert_type(
+                        jnp.asarray(thr_hi, _U32), _I32).reshape(()),
+                    jax.lax.bitcast_convert_type(
+                        jnp.asarray(thr_lo, _U32), _I32).reshape(())])
+    se = jnp.stack([start.astype(_I32), end.astype(_I32),
+                    active_lane.astype(_I32)])
+    st0 = jnp.stack([
+        state0.val, state0.h_hi, state0.h_lo,
+        jax.lax.bitcast_convert_type(state0.p, _U32),
+        jax.lax.bitcast_convert_type(state0.last_ev, _U32),
+        jax.lax.bitcast_convert_type(state0.n_ev, _U32),
+        jnp.zeros((n_blk,), _U32)])
+
+    kern = functools.partial(_sweep_kernel, W=W, B=B, lc_sz=lc,
+                             n_cc=n_cc, force_entry=force_entry)
+    tab = lambda: pl.BlockSpec((_CC, lc), lambda l, c: (c, l))
+    lanes = lambda rows: pl.BlockSpec((rows, lc), lambda l, c: (0, l))
+    ev, pv, plast, xs = pl.pallas_call(
+        kern,
+        grid=(n_lc, n_cc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # li scalars
+            lanes(3),                                # start/end/active
+            lanes(7),                                # state0
+            tab(), tab(), tab(), tab(), tab(), tab(), tab(),
+        ],
+        out_specs=(tab(), tab(), tab(),
+                   pl.BlockSpec((6, lc), lambda l, c: (0, l))),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_blk), _I32),
+            jax.ShapeDtypeStruct((B, n_blk), _U32),
+            jax.ShapeDtypeStruct((B, n_blk), _I32),
+            jax.ShapeDtypeStruct((6, n_blk), _U32),
+        ),
+        scratch_shapes=[pltpu.VMEM((7, lc), _U32)],
+        interpret=interpret,
+    )(li, se, st0, h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT)
+
+    stf = FieldState(
+        val=xs[0, :n_real], h_hi=xs[1, :n_real], h_lo=xs[2, :n_real],
+        p=jax.lax.bitcast_convert_type(xs[3, :n_real], _I32),
+        last_ev=jax.lax.bitcast_convert_type(xs[4, :n_real], _I32),
+        n_ev=jax.lax.bitcast_convert_type(xs[5, :n_real], _I32))
+    return (stf, ev[:, :n_real] != 0, pv[:, :n_real],
+            plast[:, :n_real])
+
+
+def _run_sweep(tT, last_i, W, n_blk, state0, start, end, active_lane,
+               force_entry, thr_hi, thr_lo):
+    """Backend dispatch: Mosaic kernel on TPU (native column loop), the
+    XLA lax.scan elsewhere (this platform's XLA while-loop iterations
+    cost ~90us through the remote runtime; Mosaic loops are on-core)."""
+    if jax.default_backend() == "tpu":
+        return _sweep_pallas(tT, last_i, W, n_blk, state0, start, end,
+                             active_lane, force_entry, thr_hi, thr_lo)
+    return _sweep(tT, last_i, W, n_blk, state0, start, end,
+                  active_lane, force_entry, thr_hi, thr_lo)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
                   entry, thr_hi, thr_lo):
@@ -296,7 +484,7 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
     tT = _transpose_tables(t, n_blk)
 
     # ---- sweep 1: suffixes from each block's first sync ----
-    st1, ev_flag, ev_pval, ev_plast = _sweep(
+    st1, ev_flag, ev_pval, ev_plast = _run_sweep(
         tT, t.last_i, W, n_blk, zst, fs, jnp.full((n_blk,), B, _I32),
         has_sync, True, thr_hi, thr_lo)
 
@@ -335,7 +523,7 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
             p=pred(exit_p, ent_p),
             last_ev=pred(exit_le, ent_le),
             n_ev=jnp.zeros((n_blk,), _I32))
-        st2, ev2, pv2, pl2 = _sweep(
+        st2, ev2, pv2, pl2 = _run_sweep(
             tT, t.last_i, W, n_blk, st0, jnp.zeros((n_blk,), _I32), fs,
             can, False, thr_hi, thr_lo)
         ev_flag = ev_flag | ev2
