@@ -290,8 +290,10 @@ def _sweep_kernel(li_ref, se_ref, st0_ref, hh_ref, hl_ref, cv_ref,
     start = se_ref[0:1, :]
     end = se_ref[1:2, :]
     active = se_ref[2:3, :] != 0
-    thr_hi = bc(li_ref[1], _U32)
-    thr_lo = bc(li_ref[2], _U32)
+    # scalar bitcast is not a Mosaic op; i32->u32 convert is modular in
+    # XLA, so astype preserves the bit pattern
+    thr_hi = li_ref[1].astype(_U32)
+    thr_lo = li_ref[2].astype(_U32)
     last_i = li_ref[0]
     lane_j0 = ((lci * lc_sz + jax.lax.broadcasted_iota(
         _I32, (1, lc_sz), 1)) * B)
