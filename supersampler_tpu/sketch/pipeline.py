@@ -418,10 +418,11 @@ class TpuSubsampler(OracleSubsampler):
     device_dedup = None
     # scan engine: "legacy" = successor tables + serial Pallas walker;
     # "field" = sync-field resolution (ops/field.py) — walker-free and
-    # exact, but its lockstep sweeps currently run as XLA fori loops,
-    # which cost ~90us/iteration through this TPU's remote runtime
-    # (measured r3), so the walker path stays the default until the
-    # sweeps move into a Mosaic kernel. Both engines are golden-tested.
+    # exact. The field engine's Mosaic sweep kernel is validated
+    # bit-exact on-chip (r3) but its surrounding XLA glue (per-sweep
+    # transposes/padding, idle prefix passes) still leaves it behind
+    # the walker end-to-end (docs/PERF.md), so legacy stays the
+    # default. Both engines are golden-tested.
     scan_engine = "legacy"
 
     def _dedup_on(self) -> bool:
