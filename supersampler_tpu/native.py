@@ -14,6 +14,7 @@ import threading
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_ROOT, "csrc", "spsp_native.c")
+_SRC_FINISH = os.path.join(_ROOT, "csrc", "spsp_finish.c")
 _LIB = os.path.join(_ROOT, "build", "libspsp_native.so")
 
 _lock = threading.Lock()
@@ -23,10 +24,13 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+    srcs = [_SRC] + ([_SRC_FINISH] if os.path.exists(_SRC_FINISH)
+                     else [])
     for cc in ("cc", "gcc", "g++", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lm"],
+                [cc, "-O2", "-shared", "-fPIC", "-o", _LIB] + srcs
+                + ["-lm"],
                 capture_output=True)
             if r.returncode == 0:
                 return True
@@ -43,9 +47,12 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        stale = not os.path.exists(_LIB)
+        for src in (_SRC, _SRC_FINISH):
+            if (not stale and os.path.exists(src)
+                    and os.path.getmtime(src) > os.path.getmtime(_LIB)):
+                stale = True
+        if stale:
             if not os.path.exists(_SRC):
                 return None
             if not _build():
@@ -64,8 +71,71 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_uint8,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        try:
+            lib.spsp_finish_new.restype = ctypes.c_void_p
+            lib.spsp_finish_new.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            lib.spsp_finish_free.argtypes = [ctypes.c_void_p]
+            lib.spsp_finish_spans.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.spsp_finish_serialize.restype = ctypes.c_int64
+            lib.spsp_finish_serialize.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_void_p]
+            lib.spsp_finish_release.argtypes = [ctypes.c_char_p]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
+
+
+class NativeFinisher:
+    """ctypes wrapper over the C k-mer store + reconstructor +
+    serializer (csrc/spsp_finish.c); None-able via available()."""
+
+    @staticmethod
+    def available() -> bool:
+        lib = get_lib()
+        return lib is not None and hasattr(lib, "spsp_finish_new")
+
+    def __init__(self, k: int, m: int, abundance: int):
+        self._lib = get_lib()
+        self._h = self._lib.spsp_finish_new(k, m, abundance)
+
+    def add_spans(self, ref: bytes, pos, last, val, rev) -> None:
+        import numpy as np
+
+        pos = np.ascontiguousarray(pos, np.int64)
+        last = np.ascontiguousarray(last, np.int64)
+        val = np.ascontiguousarray(val, np.uint32)
+        rev = np.ascontiguousarray(rev, np.uint8)
+        self._lib.spsp_finish_spans(
+            self._h, ref, len(ref), len(pos), pos.ctypes.data,
+            last.ctypes.data, val.ctypes.data, rev.ctypes.data)
+
+    def serialize(self):
+        """Returns (payload_bytes, counters[6]): seen_kmers,
+        seen_skmers, seen_max_skmers, seen_unique, total_kmer_recon,
+        n_buckets."""
+        import numpy as np
+
+        out = ctypes.c_char_p()
+        counters = np.zeros(6, np.int64)
+        n = self._lib.spsp_finish_serialize(
+            self._h, ctypes.byref(out), counters.ctypes.data)
+        data = ctypes.string_at(out, n)
+        self._lib.spsp_finish_release(out)
+        return data, counters
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.spsp_finish_free(self._h)
+                self._h = None
+        except Exception:
+            pass
 
 
 def walk_chain_native(nxt_pos_a, nxt_adopt_a, nxt_pos_r, nxt_adopt_r,

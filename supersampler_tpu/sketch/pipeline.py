@@ -425,10 +425,36 @@ class TpuSubsampler(OracleSubsampler):
     # default. Both engines are golden-tested.
     scan_engine = "legacy"
 
+    # native (C) host finisher: k-mer store + greedy reconstruction +
+    # serialization in csrc/spsp_finish.c — the host tail is the
+    # measured e2e bottleneck. None = auto (on when the library builds
+    # and the device-dedup path, which owns the Python store, is off).
+    native_finisher = None
+
     def _dedup_on(self) -> bool:
         if self.device_dedup is None:
             return self.s <= 64
         return bool(self.device_dedup)
+
+    def _nf(self):
+        obj = getattr(self, "_nf_obj", None)
+        if obj is not None:
+            return obj
+        if getattr(self, "_nf_checked", False):
+            return None
+        self._nf_checked = True
+        use = self.native_finisher
+        if use is None:
+            from supersampler_tpu.native import NativeFinisher
+
+            use = NativeFinisher.available() and not self._dedup_on()
+        if not use:
+            self._nf_obj = None
+            return None
+        from supersampler_tpu.native import NativeFinisher
+
+        self._nf_obj = NativeFinisher(self.k, self.m, self.abundance)
+        return self._nf_obj
 
     def _launch_scan(self, ref: bytes):
         """Asynchronously dispatch the device scan + chain walk for one
@@ -597,6 +623,24 @@ class TpuSubsampler(OracleSubsampler):
             self._assemble_dedup(L, sel_pos, sel_last, n_ev, last_ev_pos,
                                  tail_sel, uniques_list)
             return
+        nf = self._nf()
+        if nf is not None:
+            self._span_counters(L, sel_pos, sel_last, n_ev, last_ev_pos,
+                                tail_sel)
+            if isinstance(ref, str):
+                ref = ref.encode()
+            pos = np.asarray(sel_pos, np.int64)
+            last = np.asarray(sel_last, np.int64)
+            val = np.asarray(sel_val, np.uint32)
+            rev = np.asarray(sel_rev, np.uint8)
+            if tail_sel:
+                t_last = last_ev_pos + 1 if n_ev else 0
+                pos = np.append(pos, L - k)
+                last = np.append(last, t_last)
+                val = np.append(val, np.uint32(tail_val))
+                rev = np.append(rev, np.uint8(tail_rev))
+            nf.add_spans(ref, pos, last, val, rev)
+            return
         pos_end = 0
         for j in range(len(sel_pos)):
             i = int(sel_pos[j])
@@ -620,11 +664,11 @@ class TpuSubsampler(OracleSubsampler):
             self.handle_superkmer(ref[last_position:], int(tail_val),
                                   bool(tail_rev))
 
-    def _assemble_dedup(self, L, sel_pos, sel_last, n_ev, last_ev_pos,
-                        tail_sel, uniques_list):
-        """Counter bookkeeping (vectorized) + bucket merge for the
-        device-dedup path. Matches the scalar loop above +
-        handle_superkmer's own stats exactly."""
+    def _span_counters(self, L, sel_pos, sel_last, n_ev, last_ev_pos,
+                       tail_sel):
+        """Vectorized equivalent of the scalar assembly loop's counter
+        bookkeeping + handle_superkmer's own stats (used by the
+        device-dedup and native-finisher paths)."""
         k, m = self.k, self.m
         n = len(sel_pos)
         if n:
@@ -651,8 +695,34 @@ class TpuSubsampler(OracleSubsampler):
             self.selected_kmer_number += tlen - k + 1
             if tlen == 2 * k - m:
                 self.count_maximal_skmer += 1
+
+    def _assemble_dedup(self, L, sel_pos, sel_last, n_ev, last_ev_pos,
+                        tail_sel, uniques_list):
+        """Counter bookkeeping + bucket merge for the device-dedup
+        path."""
+        self._span_counters(L, sel_pos, sel_last, n_ev, last_ev_pos,
+                            tail_sel)
         for uniques in uniques_list:
-            merge_unique_host(self, uniques, k)
+            merge_unique_host(self, uniques, self.k)
+
+    def serialize(self) -> bytes:
+        nf = getattr(self, "_nf_obj", None)
+        if nf is None:
+            return super().serialize()
+        from supersampler_tpu.core.scalar import format_double
+
+        header = "{} {} {} {}\n".format(
+            self.k - 1 + self.max_superkmer_size,
+            self.m, self.selected_kmer_number,
+            format_double(self.s)).encode()
+        payload, c = nf.serialize()
+        self.seen_kmers_at_reconstruction += int(c[0])
+        self.seen_superkmers_at_reconstruction += int(c[1])
+        self.seen_max_superkmers_at_reconstruction += int(c[2])
+        self.seen_unique_kmers_at_reconstruction += int(c[3])
+        self.total_kmer_number_at_reconstruction += int(c[4])
+        self.actual_minimizer_number = int(c[5])
+        return header + payload
 
     def _assemble(self, ref, pos, val, rev, sel, init):
         """Replay the boundary bookkeeping of the reference loop
