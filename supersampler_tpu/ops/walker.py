@@ -16,13 +16,15 @@ FHS-selected boundaries (the only data the host ever needs) into
 per-block tiles.  ~400k scalar steps take milliseconds — two orders of
 magnitude faster than the doubling, with no O(n log n) gather traffic.
 
-Packed word layout (bit positions), per loop position j:
+Packed word layout (bit positions), per loop position j — the two
+node types occupy symmetric 16-bit halves so the walker decodes with
+ONE variable shift (h = w >> (typ*16)) instead of per-field selects:
   [0:6]   delta_a   next-event distance from the A(doption) node (0 = none)
   [6]     typ_a     next event type from the A node (0=A, 1=R(escan))
-  [7:13]  delta_r   same for the R node
-  [13]    typ_r
-  [14]    sel_a     FHS-selected bit of the A node's payload
-  [15]    sel_r     same for the R node
+  [7]     sel_a     FHS-selected bit of the A node's payload
+  [16:22] delta_r   same three fields for the R node
+  [22]    typ_r
+  [23]    sel_r
 (k-m+1 <= 61 for k <= 63, so deltas fit 6 bits.)
 
 Mosaic requires (8, 128)-aligned windows, so blocks are shaped
@@ -60,8 +62,8 @@ def pack_succ(t: ScanTables, n_pad: int) -> jnp.ndarray:
     dr = jnp.where(t.nxt_pos_r >= 0, t.nxt_pos_r - j, 0)
     ta = jnp.where(t.nxt_adopt_a, 0, 1)
     tr = jnp.where(t.nxt_adopt_r, 0, 1)
-    w = (da | (ta << 6) | (dr << 7) | (tr << 13)
-         | (t.sel_a.astype(_I32) << 14) | (t.sel_r.astype(_I32) << 15))
+    w = (da | (ta << 6) | (t.sel_a.astype(_I32) << 7)
+         | (dr << 16) | (tr << 22) | (t.sel_r.astype(_I32) << 23))
     if n_pad > n:
         return jnp.concatenate([w, jnp.zeros((n_pad - n,), _I32)])
     return w[:n_pad]
@@ -115,11 +117,10 @@ def _walk_kernel(init_ref, packed_ref, ei_ref, el_ref, es_ref, cnt_ref,
 
         local = npos - block_start
         w = packed_ref[local >> _COLS_LOG2, local & (_COLS - 1)]
-        sel = jnp.where(ntyp == 0, (w >> 14) & 1, (w >> 15) & 1)
-        delta = jnp.where(ntyp == 0, w & 63, (w >> 7) & 63)
-        ntyp2 = jnp.where(ntyp == 0, (w >> 6) & 1, (w >> 13) & 1)
-        return (npos, ntyp, sel,
-                jnp.where(delta > 0, npos + delta, -1), ntyp2,
+        h = w >> (ntyp << 4)     # one shift selects the node's half
+        delta = h & 63
+        return (npos, ntyp, (h >> 7) & 1,
+                jnp.where(delta > 0, npos + delta, -1), (h >> 6) & 1,
                 n_ev + 1, cnt + (cur_sel != 0).astype(_I32))
 
     init = (st[0], st[1], st[2], st[3], st[4], st[5], jnp.int32(0))
@@ -225,11 +226,10 @@ def walk_xla(packed: jnp.ndarray, init5: jnp.ndarray):
         el = el.at[cnt].set(jnp.where(emit, cur_pos + 1, el[cnt]))
         es = es.at[cnt].set(jnp.where(emit, src, es[cnt]))
         w = packed[npos]
-        sel = jnp.where(ntyp == 0, (w >> 14) & 1, (w >> 15) & 1)
-        delta = jnp.where(ntyp == 0, w & 63, (w >> 7) & 63)
-        ntyp2 = jnp.where(ntyp == 0, (w >> 6) & 1, (w >> 13) & 1)
-        return (npos, ntyp, sel,
-                jnp.where(delta > 0, npos + delta, -1), ntyp2,
+        h = w >> (ntyp << 4)
+        delta = h & 63
+        return (npos, ntyp, (h >> 7) & 1,
+                jnp.where(delta > 0, npos + delta, -1), (h >> 6) & 1,
                 n_ev + 1, cnt + emit.astype(_I32), ei, el, es)
 
     init = (init5[3], init5[4], init5[2], init5[0], init5[1],

@@ -432,9 +432,17 @@ class TpuSubsampler(OracleSubsampler):
     native_finisher = None
 
     def _dedup_on(self) -> bool:
-        if self.device_dedup is None:
-            return self.s <= 64
-        return bool(self.device_dedup)
+        if self.device_dedup is not None:
+            return bool(self.device_dedup)
+        # auto: the native C finisher ingests spans faster than the
+        # device dedup's host-side unique merge at every FHS rate
+        # (measured r3: 2-5x), so device dedup is the fallback for
+        # toolchain-less environments only.
+        from supersampler_tpu.native import NativeFinisher
+
+        if NativeFinisher.available():
+            return False
+        return self.s <= 64
 
     def _nf(self):
         obj = getattr(self, "_nf_obj", None)
