@@ -558,6 +558,7 @@ class TpuSubsampler(OracleSubsampler):
 
         from supersampler_tpu.io.fasta import iter_fasta_records
         from supersampler_tpu.core.scalar import MASK64
+        from supersampler_tpu.utils.profiling import device_trace, phase
 
         k = self.k
         if not os.path.exists(input_path):
@@ -571,12 +572,20 @@ class TpuSubsampler(OracleSubsampler):
         # record n+1 while the fetch thread drains record n-w's compact
         # and the main thread assembles record n-w (numpy/zlib release
         # the GIL, so the stages genuinely overlap)
-        with concurrent.futures.ThreadPoolExecutor(1) as fetcher, \
+        with device_trace("sketch_file"), \
+                concurrent.futures.ThreadPoolExecutor(1) as fetcher, \
                 concurrent.futures.ThreadPoolExecutor(1) as launcher:
-            def launch_then_fetch(lfut):
-                return self._fetch(lfut.result())
+            def launch(ref):
+                with phase("launch_scan"):
+                    return self._launch_scan(ref)
 
-            for ref_bytes in iter_fasta_records(input_path):
+            def launch_then_fetch(lfut):
+                with phase("device+fetch"):
+                    return self._fetch(lfut.result())
+
+            with phase("parse"):
+                records = list(iter_fasta_records(input_path))
+            for ref_bytes in records:
                 ref = ref_bytes
                 if len(ref) < k:
                     ref = b""
@@ -585,16 +594,19 @@ class TpuSubsampler(OracleSubsampler):
                 if ref:
                     if len(pending) >= window:
                         r, fut = pending.popleft()
-                        self._assemble_from(r, fut.result())
-                    lfut = launcher.submit(self._launch_scan, ref)
+                        with phase("assemble"):
+                            self._assemble_from(r, fut.result())
+                    lfut = launcher.submit(launch, ref)
                     pending.append(
                         (ref, fetcher.submit(launch_then_fetch, lfut)))
             while pending:
                 r, fut = pending.popleft()
-                self._assemble_from(r, fut.result())
+                with phase("assemble"):
+                    self._assemble_from(r, fut.result())
         self.nb_mmer_selected = (self.nb_mmer_selected
                                  - (self.m - 1)) & MASK64
-        return self.serialize()
+        with phase("serialize"):
+            return self.serialize()
 
     @staticmethod
     def _fetch(dc):

@@ -99,3 +99,24 @@ def test_eval_norms_matches_notebook(tmp_path, capsys):
 
     assert norms.main([str(pa), str(pb)]) == 0
     assert "norm1" in capsys.readouterr().out
+
+
+def test_phase_timers_and_trace(tmp_path, monkeypatch):
+    """Phase timers accumulate during sketch_file; device_trace is a
+    no-op without SPSP_TRACE."""
+    import numpy as np
+
+    from supersampler_tpu.sketch.pipeline import TpuSubsampler
+    from supersampler_tpu.utils.profiling import timers
+
+    monkeypatch.delenv("SPSP_TRACE", raising=False)
+    rng = np.random.default_rng(2)
+    fa = tmp_path / "p.fa"
+    fa.write_text(">r\n" + "".join(
+        "ACGT"[c] for c in rng.integers(0, 4, 4000)) + "\n")
+    timers.reset()
+    TpuSubsampler(k=31, m=11, s=10.0).sketch_file(str(fa))
+    for name in ("parse", "launch_scan", "device+fetch", "assemble",
+                 "serialize"):
+        assert name in timers.totals, name
+    assert "parse" in timers.report()
