@@ -29,9 +29,7 @@ from supersampler_tpu.ops.field import (field_carry, field_entry_init,
                                         parse_field_array, resolve_field,
                                         scan_field_2d_packed)
 from supersampler_tpu.ops.minimizer import (pack_ref_2bit,
-                                            scan_tables_2d,
-                                            scan_tables_2d_packed,
-                                            walk_chain_host)
+                                            scan_tables_2d_packed)
 from supersampler_tpu.ops.walker import DeviceChain, _pow2_ge
 from supersampler_tpu.oracle.subsampler import OracleSubsampler
 
@@ -45,7 +43,6 @@ _TILE_P = _TILE_OWN + _TILE_EXTRA
 
 _PAD_BUCKETS = [1 << b for b in range(10, 23)]
 
-device_scan_2d = jax.jit(scan_tables_2d, static_argnums=(1, 2, 3, 6))
 device_scan_2d_packed = jax.jit(scan_tables_2d_packed,
                                 static_argnums=(1, 2, 3, 6))
 device_scan_field_packed = jax.jit(scan_field_2d_packed,
