@@ -35,16 +35,10 @@ def clean_dna(s: bytes) -> bytes:
     return s.translate(_UPPER_TRANS, _DELETE_NON_ACGT)
 
 
-def iter_fasta_records(path: str) -> Iterator[bytes]:
-    """Yield cleaned sequences exactly as the reference's read loop does
-    (reference SubSampler.cpp:334-347 + utils.cpp:706-718).
-
-    Every yielded item corresponds to one getLineFasta call (possibly an
-    empty sequence); the caller applies the length-k filter. Record
-    bodies are cleaned as whole slabs: newlines are non-ACGT, so
-    clean_dna concatenates the body lines exactly like the reference's
-    line loop (a '>' only ends a record at line start, i.e. after
-    b"\\n")."""
+def iter_fasta_raw(path: str) -> Iterator[bytes]:
+    """Yield RAW record bodies (header stripped, lines joined with
+    their newlines still embedded); callers clean_dna them — possibly
+    off-thread (the translate is the parse hot spot)."""
     with open_maybe_gzip(path) as f:
         data = f.read()
     pos = 0
@@ -61,6 +55,20 @@ def iter_fasta_records(path: str) -> Iterator[bytes]:
         else:
             body = data[nl + 1 : nxt]
             pos = nxt + 1
+        yield body
+
+
+def iter_fasta_records(path: str) -> Iterator[bytes]:
+    """Yield cleaned sequences exactly as the reference's read loop does
+    (reference SubSampler.cpp:334-347 + utils.cpp:706-718).
+
+    Every yielded item corresponds to one getLineFasta call (possibly an
+    empty sequence); the caller applies the length-k filter. Record
+    bodies are cleaned as whole slabs: newlines are non-ACGT, so
+    clean_dna concatenates the body lines exactly like the reference's
+    line loop (a '>' only ends a record at line start, i.e. after
+    b"\\n")."""
+    for body in iter_fasta_raw(path):
         yield clean_dna(body)
 
 

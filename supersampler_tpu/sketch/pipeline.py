@@ -553,7 +553,7 @@ class TpuSubsampler(OracleSubsampler):
         import os
         import sys
 
-        from supersampler_tpu.io.fasta import iter_fasta_records
+        from supersampler_tpu.io.fasta import clean_dna, iter_fasta_raw
         from supersampler_tpu.core.scalar import MASK64
         from supersampler_tpu.utils.profiling import device_trace, phase
 
@@ -572,34 +572,40 @@ class TpuSubsampler(OracleSubsampler):
         with device_trace("sketch_file"), \
                 concurrent.futures.ThreadPoolExecutor(1) as fetcher, \
                 concurrent.futures.ThreadPoolExecutor(1) as launcher:
-            def launch(ref):
+            # cleaning (the parse hot spot) + packing + dispatch run on
+            # the launcher thread; the record-length filter depends on
+            # the CLEANED length, so it lives there too
+            def launch(raw):
                 with phase("launch_scan"):
-                    return self._launch_scan(ref)
+                    ref = clean_dna(raw)
+                    if len(ref) < k:
+                        return None
+                    self.read_kmer += len(ref) - k + 1
+                    return ref, self._launch_scan(ref)
 
             def launch_then_fetch(lfut):
                 with phase("device+fetch"):
-                    return self._fetch(lfut.result())
+                    r = lfut.result()
+                    if r is None:
+                        return None
+                    return r[0], self._fetch(r[1])
+
+            def drain(fut):
+                r = fut.result()
+                if r is None:
+                    return
+                with phase("assemble"):
+                    self._assemble_from(r[0], r[1])
 
             with phase("parse"):
-                records = list(iter_fasta_records(input_path))
-            for ref_bytes in records:
-                ref = ref_bytes
-                if len(ref) < k:
-                    ref = b""
-                else:
-                    self.read_kmer += len(ref) - k + 1
-                if ref:
-                    if len(pending) >= window:
-                        r, fut = pending.popleft()
-                        with phase("assemble"):
-                            self._assemble_from(r, fut.result())
-                    lfut = launcher.submit(launch, ref)
-                    pending.append(
-                        (ref, fetcher.submit(launch_then_fetch, lfut)))
+                raws = list(iter_fasta_raw(input_path))
+            for raw in raws:
+                if len(pending) >= window:
+                    drain(pending.popleft())
+                pending.append(fetcher.submit(
+                    launch_then_fetch, launcher.submit(launch, raw)))
             while pending:
-                r, fut = pending.popleft()
-                with phase("assemble"):
-                    self._assemble_from(r, fut.result())
+                drain(pending.popleft())
         self.nb_mmer_selected = (self.nb_mmer_selected
                                  - (self.m - 1)) & MASK64
         with phase("serialize"):
