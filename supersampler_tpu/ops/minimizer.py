@@ -26,7 +26,6 @@ All 64-bit hash math runs as uint32 limb pairs (ops/u64.py).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
