@@ -361,25 +361,7 @@ def _sweep_pallas(tT, last_i, W: int, n_blk: int, state0: FieldState,
         interpret = jax.default_backend() != "tpu"
     B = _B
     lc = min(_LC, n_blk)
-    n_real = n_blk
-    if n_blk % lc:
-        n_blk = (n_blk // lc + 1) * lc
-        padn = n_blk - n_real
-
-        def padt(a):
-            return jnp.concatenate(
-                [a, jnp.zeros((B, padn), a.dtype)], axis=1)
-
-        tT = tuple(padt(a) for a in tT)
-
-        def padl(a, fill=0):
-            return jnp.concatenate(
-                [a, jnp.full((padn,), fill, a.dtype)])
-
-        start = padl(start)
-        end = padl(end)
-        active_lane = padl(active_lane, False)
-        state0 = FieldState(*(padl(f) for f in state0))
+    assert n_blk % lc == 0, (n_blk, lc)  # resolve_field pads lanes
     h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT = tT
     n_lc = n_blk // lc
     n_cc = B // _CC
@@ -424,12 +406,11 @@ def _sweep_pallas(tT, last_i, W: int, n_blk: int, state0: FieldState,
     )(li, se, st0, h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT)
 
     stf = FieldState(
-        val=xs[0, :n_real], h_hi=xs[1, :n_real], h_lo=xs[2, :n_real],
-        p=jax.lax.bitcast_convert_type(xs[3, :n_real], _I32),
-        last_ev=jax.lax.bitcast_convert_type(xs[4, :n_real], _I32),
-        n_ev=jax.lax.bitcast_convert_type(xs[5, :n_real], _I32))
-    return (stf, ev[:, :n_real] != 0, pv[:, :n_real],
-            plast[:, :n_real])
+        val=xs[0], h_hi=xs[1], h_lo=xs[2],
+        p=jax.lax.bitcast_convert_type(xs[3], _I32),
+        last_ev=jax.lax.bitcast_convert_type(xs[4], _I32),
+        n_ev=jax.lax.bitcast_convert_type(xs[5], _I32))
+    return stf, ev != 0, pv, plast
 
 
 def _run_sweep(tT, last_i, W, n_blk, state0, start, end, active_lane,
@@ -461,12 +442,20 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
     """
     W = k - m + 1
     P = t.h_hi.shape[0]
-    n_blk = P // _B
+    n_real = P // _B
     B = _B
+    # pad lanes once to the Mosaic kernel's lane-chunk multiple (the
+    # pads sit after the real lanes, are never live, and cost nothing
+    # downstream); every per-lane array below uses the padded count
+    lc = min(_LC, n_real)
+    n_blk = -(-n_real // lc) * lc
     lanes = jnp.arange(n_blk, dtype=_I32)
     lane_base = lanes * B
 
-    sync2 = t.sync.reshape(n_blk, B)
+    sync2 = t.sync.reshape(n_real, B)
+    if n_blk != n_real:
+        sync2 = jnp.concatenate(
+            [sync2, jnp.zeros((n_blk - n_real, B), bool)])
     has_sync = jnp.any(sync2, axis=1)
     fs = jnp.argmax(sync2, axis=1).astype(_I32)
     fs = jnp.where(has_sync, fs, B)
@@ -483,7 +472,11 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
         p=jnp.zeros((n_blk,), _I32),
         last_ev=jnp.full((n_blk,), -1, _I32),
         n_ev=jnp.zeros((n_blk,), _I32))
-    tT = _transpose_tables(t, n_blk)
+    tT = _transpose_tables(t, n_real)
+    if n_blk != n_real:
+        tT = tuple(jnp.concatenate(
+            [a, jnp.zeros((B, n_blk - n_real), a.dtype)], axis=1)
+            for a in tT)
 
     # ---- sweep 1: suffixes from each block's first sync ----
     st1, ev_flag, ev_pval, ev_plast = _run_sweep(
