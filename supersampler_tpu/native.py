@@ -15,6 +15,7 @@ import threading
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_ROOT, "csrc", "spsp_native.c")
 _SRC_FINISH = os.path.join(_ROOT, "csrc", "spsp_finish.c")
+_SRC_IO = os.path.join(_ROOT, "csrc", "spsp_io.c")
 _LIB = os.path.join(_ROOT, "build", "libspsp_native.so")
 
 _lock = threading.Lock()
@@ -24,8 +25,8 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
-    srcs = [_SRC] + ([_SRC_FINISH] if os.path.exists(_SRC_FINISH)
-                     else [])
+    srcs = [_SRC] + [s for s in (_SRC_FINISH, _SRC_IO)
+                     if os.path.exists(s)]
     for cc in ("cc", "gcc", "g++", "clang"):
         try:
             r = subprocess.run(
@@ -48,7 +49,7 @@ def get_lib():
             return _lib
         _tried = True
         stale = not os.path.exists(_LIB)
-        for src in (_SRC, _SRC_FINISH):
+        for src in (_SRC, _SRC_FINISH, _SRC_IO):
             if (not stale and os.path.exists(src)
                     and os.path.getmtime(src) > os.path.getmtime(_LIB)):
                 stale = True
@@ -85,6 +86,16 @@ def get_lib():
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
                 ctypes.c_void_p]
             lib.spsp_finish_release.argtypes = [ctypes.c_char_p]
+        except AttributeError:
+            pass
+        try:
+            lib.spsp_clean_codes.restype = ctypes.c_int64
+            lib.spsp_clean_codes.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p]
+            lib.spsp_pack_halo.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64]
         except AttributeError:
             pass
         _lib = lib
@@ -160,6 +171,40 @@ def walk_chain_native(nxt_pos_a, nxt_adopt_a, nxt_pos_r, nxt_adopt_r,
         int(init_pos), 1 if init_adopt else 0,
         out_pos.ctypes.data, out_type.ctypes.data, max_out)
     return out_pos[:cnt], out_type[:cnt]
+
+
+def clean_codes_native(raw: bytes):
+    """One-pass clean_dna + 2-bit code extraction (csrc/spsp_io.c).
+
+    Returns (cleaned_ref_bytes, codes_uint8_array) or None if the
+    native library is unavailable.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "spsp_clean_codes"):
+        return None
+    n = len(raw)
+    ref = np.empty(n, np.uint8)
+    codes = np.empty(n, np.uint8)
+    o = lib.spsp_clean_codes(raw, n, ref.ctypes.data, codes.ctypes.data)
+    return ref[:o].tobytes(), codes[:o]
+
+
+def pack_halo_native(codes, padded: int, halo: int = 0):
+    """4:1 pack of 2-bit codes with `halo` zero positions prepended and
+    zero fill to `padded` positions (csrc/spsp_io.c); None if the
+    library is unavailable. halo and padded must be multiples of 4."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "spsp_pack_halo"):
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    out = np.empty((halo + padded) >> 2, np.uint8)
+    lib.spsp_pack_halo(codes.ctypes.data, len(codes), out.ctypes.data,
+                       halo, padded)
+    return out
 
 
 def threshold_native(k: int, m: int, s: float):

@@ -256,114 +256,189 @@ def _sweep(tT, last_i, W: int, n_blk: int, state0: FieldState,
     return st, ev, pval, plast
 
 
+def _pow2_ge(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _lists_from_dense(ev, pval, plast, n_blk: int, capl: int):
+    """Per-lane compacted selected-event lists from dense (B, n_blk)
+    sweep outputs — the XLA-backend path (the Mosaic kernel emits
+    lists directly; materializing 16.7M-position dense event arrays
+    and nonzero-compacting them costs ~38 ms/record on the chip,
+    measured r4). Entry events (plast == -2 marker) are excluded;
+    resolve_field synthesizes them once the prefix payload is known.
+
+    Returns (cnt(n_blk,), pos(capl, n_blk), pval(capl, n_blk),
+    plast(capl, n_blk)); cnt is exact even when a lane overflows capl
+    (extra events are dropped from the lists; callers detect cnt >
+    capl and flag status).
+    """
+    emit = ev & ((pval >> 31) == 1) & (plast != -2)
+    cnt = jnp.sum(emit, axis=0).astype(_I32)
+    slot = jnp.cumsum(emit.astype(_I32), axis=0) - 1
+    rows = jax.lax.broadcasted_iota(_I32, (_B, n_blk), 0)
+    lanes = jax.lax.broadcasted_iota(_I32, (_B, n_blk), 1)
+    j = lanes * _B + rows
+    slot_c = jnp.where(emit, slot, capl)      # capl rows are dropped
+    lp = jnp.zeros((capl, n_blk), _I32).at[slot_c, lanes].set(
+        jnp.where(emit, j, 0), mode="drop")
+    lv = jnp.zeros((capl, n_blk), _U32).at[slot_c, lanes].set(
+        jnp.where(emit, pval, 0), mode="drop")
+    ll = jnp.zeros((capl, n_blk), _I32).at[slot_c, lanes].set(
+        jnp.where(emit, plast, 0), mode="drop")
+    return cnt, lp, lv, ll
+
+
 # ----------------------------------------------------------------------
 # Mosaic sweep kernel: the XLA scan above costs ~90us per loop
 # iteration through this TPU's remote runtime (measured r3); a Pallas
 # kernel runs the same column loop natively on-core. Grid is
 # (lane_chunks, col_chunks) with columns minor, so the per-lane machine
 # state lives in VMEM scratch across a lane chunk's column sequence.
+# Lanes are shaped (8, lc/8) so every vector op fills all VPU sublanes
+# (the r3 kernel used (1, lc) rows at 1/8 utilization), and column
+# chunks with no possibly-active lane skip their compute entirely —
+# the prefix passes of resolve_field only touch columns [0, first
+# sync), ~1/6 of each block, and passes 2+ are almost always empty.
 # ----------------------------------------------------------------------
 
 _LC = 2048               # lanes per chunk
 _CC = 32                 # columns per grid step
+_LANEMUL = 1024          # lane-count multiple: 8 sublanes x 128 lanes
 
 
-def _sweep_kernel(li_ref, se_ref, st0_ref, hh_ref, hl_ref, cv_ref,
-                  em_ref, ep_ref, ehh_ref, ehl_ref,
-                  ev_ref, pv_ref, pl_ref, xs_ref, st, *, W, B, lc_sz,
-                  n_cc, force_entry):
+def _sweep_kernel(li_ref, ca_ref, se_ref, st0_ref, hh_ref, hl_ref,
+                  cv_ref, em_ref, ep_ref, ehh_ref, ehl_ref,
+                  xs_ref, lp_ref, lv_ref, ll_ref, st, lps, lvs, lls,
+                  *, W, B, lc_sz, sub, n_cc, capl, force_entry):
     lci, cc = pl.program_id(0), pl.program_id(1)
     bc = lambda a, dt: jax.lax.bitcast_convert_type(a, dt)
 
     @pl.when(cc == 0)
     def _():
-        st[...] = st0_ref[...]
+        st[0:6] = st0_ref[:, 0]
+        st[6] = jnp.zeros((8, sub), _U32)
+        lps[...] = jnp.zeros((capl, 8, sub), _I32)
+        lvs[...] = jnp.zeros((capl, 8, sub), _U32)
+        lls[...] = jnp.zeros((capl, 8, sub), _I32)
 
-    # all lane vectors are (1, lc) 2D rows
-    val = st[0:1, :]
-    h_hi = st[1:2, :]
-    h_lo = st[2:3, :]
-    p = bc(st[3:4, :], _I32)
-    last_ev = bc(st[4:5, :], _I32)
-    n_ev = bc(st[5:6, :], _I32)
+    @pl.when(ca_ref[lci, cc] != 0)
+    def _():
+        # all lane vectors are full (8, sub) tiles
+        val = st[0]
+        h_hi = st[1]
+        h_lo = st[2]
+        p = bc(st[3], _I32)
+        last_ev = bc(st[4], _I32)
+        n_ev = bc(st[5], _I32)
+        cnt = bc(st[6], _I32)
 
-    start = se_ref[0:1, :]
-    end = se_ref[1:2, :]
-    active = se_ref[2:3, :] != 0
-    # scalar bitcast is not a Mosaic op; i32->u32 convert is modular in
-    # XLA, so astype preserves the bit pattern
-    thr_hi = li_ref[1].astype(_U32)
-    thr_lo = li_ref[2].astype(_U32)
-    last_i = li_ref[0]
-    lane_j0 = ((lci * lc_sz + jax.lax.broadcasted_iota(
-        _I32, (1, lc_sz), 1)) * B)
+        start = se_ref[0, 0]
+        end = se_ref[1, 0]
+        active = se_ref[2, 0] != 0
+        # scalar bitcast is not a Mosaic op; i32->u32 convert is
+        # modular in XLA, so astype preserves the bit pattern
+        thr_hi = li_ref[1].astype(_U32)
+        thr_lo = li_ref[2].astype(_U32)
+        last_i = li_ref[0]
+        lane = (jax.lax.broadcasted_iota(_I32, (8, sub), 0) * sub
+                + jax.lax.broadcasted_iota(_I32, (8, sub), 1))
+        lane_j0 = (lci * lc_sz + lane) * B
 
-    for u in range(_CC):
-        r = cc * _CC + u
-        j = lane_j0 + r
-        act = active & (r >= start) & (r < end) & (j <= last_i)
-        nh_hi = hh_ref[u : u + 1, :]
-        nh_lo = hl_ref[u : u + 1, :]
-        lt = (nh_hi < h_hi) | ((nh_hi == h_hi) & (nh_lo < h_lo))
-        if force_entry:
-            adopt = (act & lt) | (act & (r == start))
-        else:
-            adopt = act & lt
-        expiry = act & (~adopt) & (j >= p)
-        ev = adopt | expiry
+        for u in range(_CC):
+            r = cc * _CC + u
+            j = lane_j0 + r
+            act = active & (r >= start) & (r < end) & (j <= last_i)
+            nh_hi = hh_ref[u, 0]
+            nh_lo = hl_ref[u, 0]
+            lt = (nh_hi < h_hi) | ((nh_hi == h_hi) & (nh_lo < h_lo))
+            if force_entry:
+                is_entry = act & (r == start)
+                adopt = (act & lt) | is_entry
+            else:
+                adopt = act & lt
+            expiry = act & (~adopt) & (j >= p)
+            ev = adopt | expiry
 
-        new_hh = jnp.where(adopt, nh_hi, ehh_ref[u : u + 1, :])
-        new_hl = jnp.where(adopt, nh_lo, ehl_ref[u : u + 1, :])
-        sel = ((new_hh < thr_hi)
-               | ((new_hh == thr_hi) & (new_hl <= thr_lo)))
-        new_val = (jnp.where(adopt, cv_ref[u : u + 1, :],
-                             em_ref[u : u + 1, :])
-                   | (sel.astype(_U32) << 31))
-        new_p = jnp.where(adopt, j + W, ep_ref[u : u + 1, :] + j + 1)
+            new_hh = jnp.where(adopt, nh_hi, ehh_ref[u, 0])
+            new_hl = jnp.where(adopt, nh_lo, ehl_ref[u, 0])
+            sel = ((new_hh < thr_hi)
+                   | ((new_hh == thr_hi) & (new_hl <= thr_lo)))
+            new_val = (jnp.where(adopt, cv_ref[u, 0], em_ref[u, 0])
+                       | (sel.astype(_U32) << 31))
+            new_p = jnp.where(adopt, j + W, ep_ref[u, 0] + j + 1)
 
-        if force_entry:
-            prev_last = jnp.where(act & (r == start), -2, last_ev + 1)
-        else:
-            prev_last = last_ev + 1
-        ev_ref[u : u + 1, :] = ev.astype(_I32)
-        pv_ref[u : u + 1, :] = jnp.where(ev, val, 0)
-        pl_ref[u : u + 1, :] = jnp.where(ev, prev_last, -1)
+            # selected-emit list append: the event at j closes the
+            # super-k-mer held in the PRE-update state; entry events
+            # (unknown prefix payload) are synthesized by the caller
+            emit = ev & ((val >> 31) == 1)
+            if force_entry:
+                emit = emit & ~is_entry
+            pl_v = last_ev + 1
+            for c0 in range(capl):
+                hit = emit & (cnt == c0)
+                lps[c0] = jnp.where(hit, j, lps[c0])
+                lvs[c0] = jnp.where(hit, val, lvs[c0])
+                lls[c0] = jnp.where(hit, pl_v, lls[c0])
+            cnt = cnt + emit.astype(_I32)
 
-        val = jnp.where(ev, new_val, val)
-        h_hi = jnp.where(ev, new_hh, h_hi)
-        h_lo = jnp.where(ev, new_hl, h_lo)
-        p = jnp.where(ev, new_p, p)
-        last_ev = jnp.where(ev, j, last_ev)
-        n_ev = n_ev + ev.astype(_I32)
+            val = jnp.where(ev, new_val, val)
+            h_hi = jnp.where(ev, new_hh, h_hi)
+            h_lo = jnp.where(ev, new_hl, h_lo)
+            p = jnp.where(ev, new_p, p)
+            last_ev = jnp.where(ev, j, last_ev)
+            n_ev = n_ev + ev.astype(_I32)
 
-    st[0:1, :] = val
-    st[1:2, :] = h_hi
-    st[2:3, :] = h_lo
-    st[3:4, :] = bc(p, _U32)
-    st[4:5, :] = bc(last_ev, _U32)
-    st[5:6, :] = bc(n_ev, _U32)
+        st[0] = val
+        st[1] = h_hi
+        st[2] = h_lo
+        st[3] = bc(p, _U32)
+        st[4] = bc(last_ev, _U32)
+        st[5] = bc(n_ev, _U32)
+        st[6] = bc(cnt, _U32)
 
     @pl.when(cc == n_cc - 1)
     def _():
-        xs_ref[...] = st[0:6, :]
+        xs_ref[0] = st[...]
+        lp_ref[0] = lps[...]
+        lv_ref[0] = lvs[...]
+        ll_ref[0] = lls[...]
 
 
 def _sweep_pallas(tT, last_i, W: int, n_blk: int, state0: FieldState,
                   start, end, active_lane, force_entry: bool,
-                  thr_hi, thr_lo, interpret: bool | None = None):
-    """Pallas version of _sweep, same outputs ((B, n_blk) major).
+                  thr_hi, thr_lo, capl: int = 16,
+                  interpret: bool | None = None):
+    """Pallas sweep emitting per-lane compacted selected-event lists —
+    same contract as _sweep + _lists_from_dense: returns
+    (exit_state, cnt(n_blk,), pos(capl, n_blk), pval(capl, n_blk),
+    plast(capl, n_blk)).
 
-    Lanes pad up to a _LC multiple with inactive lanes (they sit after
-    the real ones, so predecessor chaining is unaffected); outputs
-    slice back.
+    Lanes pad up to a _LANEMUL multiple with inactive lanes (they sit
+    after the real ones, so predecessor chaining is unaffected);
+    outputs slice back. The 4 Mbp production tiles (16384 lanes) are
+    already aligned, so the pads only exist for small inputs.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = _B
-    lc = min(_LC, n_blk)
-    assert n_blk % lc == 0, (n_blk, lc)  # resolve_field pads lanes
-    h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT = tT
-    n_lc = n_blk // lc
+    nb = -(-n_blk // _LANEMUL) * _LANEMUL
+    lc = min(_LC, nb)
+    assert nb % lc == 0 and lc % 8 == 0, (nb, lc)
+    sub = lc // 8
+
+    def padl(a, fill=0):
+        if nb == n_blk:
+            return a
+        pad_shape = a.shape[:-1] + (nb - n_blk,)
+        return jnp.concatenate(
+            [a, jnp.full(pad_shape, fill, a.dtype)], axis=-1)
+
+    h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT = (padl(a) for a in tT)
+    n_lc = nb // lc
     n_cc = B // _CC
 
     li = jnp.stack([last_i.astype(_I32),
@@ -371,58 +446,91 @@ def _sweep_pallas(tT, last_i, W: int, n_blk: int, state0: FieldState,
                         jnp.asarray(thr_hi, _U32), _I32).reshape(()),
                     jax.lax.bitcast_convert_type(
                         jnp.asarray(thr_lo, _U32), _I32).reshape(())])
-    se = jnp.stack([start.astype(_I32), end.astype(_I32),
-                    active_lane.astype(_I32)])
+    se = jnp.stack([padl(start.astype(_I32)), padl(end.astype(_I32)),
+                    padl(active_lane.astype(_I32))])
     st0 = jnp.stack([
-        state0.val, state0.h_hi, state0.h_lo,
-        jax.lax.bitcast_convert_type(state0.p, _U32),
-        jax.lax.bitcast_convert_type(state0.last_ev, _U32),
-        jax.lax.bitcast_convert_type(state0.n_ev, _U32),
-        jnp.zeros((n_blk,), _U32)])
+        padl(state0.val), padl(state0.h_hi), padl(state0.h_lo),
+        padl(jax.lax.bitcast_convert_type(state0.p, _U32)),
+        padl(jax.lax.bitcast_convert_type(state0.last_ev, _U32)),
+        padl(jax.lax.bitcast_convert_type(state0.n_ev, _U32))])
 
+    # per-(lane-chunk, col-chunk) activity: a chunk whose columns can
+    # produce no event for any of its lanes skips all compute.  The
+    # j <= last_i bound uses the chunk's smallest column (j grows with
+    # r), so this is conservative (never skips a live chunk).
+    lane_j0v = jnp.arange(nb, dtype=_I32) * B
+    ccs = jnp.arange(n_cc, dtype=_I32) * _CC
+    la = (padl(active_lane)[:, None]
+          & (se[0][:, None] < ccs[None, :] + _CC)
+          & (se[1][:, None] > ccs[None, :])
+          & (lane_j0v[:, None] + ccs[None, :] <= last_i))
+    ca = jnp.any(la.reshape(n_lc, lc, n_cc), axis=1).astype(_I32)
+
+    r4 = lambda a: a.reshape(a.shape[:-1] + (n_lc, 8, sub))
     kern = functools.partial(_sweep_kernel, W=W, B=B, lc_sz=lc,
-                             n_cc=n_cc, force_entry=force_entry)
-    tab = lambda: pl.BlockSpec((_CC, lc), lambda l, c: (c, l))
-    lanes = lambda rows: pl.BlockSpec((rows, lc), lambda l, c: (0, l))
-    ev, pv, plast, xs = pl.pallas_call(
+                             sub=sub, n_cc=n_cc, capl=capl,
+                             force_entry=force_entry)
+    tab = lambda: pl.BlockSpec((_CC, 1, 8, sub),
+                               lambda l, c: (c, l, 0, 0))
+    lanes = lambda rows: pl.BlockSpec((rows, 1, 8, sub),
+                                      lambda l, c: (0, l, 0, 0))
+    perlane = lambda rows: pl.BlockSpec((1, rows, 8, sub),
+                                        lambda l, c: (l, 0, 0, 0))
+    xs, lp, lv, ll = pl.pallas_call(
         kern,
         grid=(n_lc, n_cc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # li scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ca chunk activity
             lanes(3),                                # start/end/active
-            lanes(7),                                # state0
+            lanes(6),                                # state0
             tab(), tab(), tab(), tab(), tab(), tab(), tab(),
         ],
-        out_specs=(tab(), tab(), tab(),
-                   pl.BlockSpec((6, lc), lambda l, c: (0, l))),
+        out_specs=(perlane(7), perlane(capl), perlane(capl),
+                   perlane(capl)),
         out_shape=(
-            jax.ShapeDtypeStruct((B, n_blk), _I32),
-            jax.ShapeDtypeStruct((B, n_blk), _U32),
-            jax.ShapeDtypeStruct((B, n_blk), _I32),
-            jax.ShapeDtypeStruct((6, n_blk), _U32),
+            jax.ShapeDtypeStruct((n_lc, 7, 8, sub), _U32),
+            jax.ShapeDtypeStruct((n_lc, capl, 8, sub), _I32),
+            jax.ShapeDtypeStruct((n_lc, capl, 8, sub), _U32),
+            jax.ShapeDtypeStruct((n_lc, capl, 8, sub), _I32),
         ),
-        scratch_shapes=[pltpu.VMEM((7, lc), _U32)],
+        scratch_shapes=[pltpu.VMEM((7, 8, sub), _U32),
+                        pltpu.VMEM((capl, 8, sub), _I32),
+                        pltpu.VMEM((capl, 8, sub), _U32),
+                        pltpu.VMEM((capl, 8, sub), _I32)],
         interpret=interpret,
-    )(li, se, st0, h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT)
+    )(li, ca, r4(se), r4(st0), r4(h_hiT), r4(h_loT), r4(cvT), r4(emT),
+      r4(epT), r4(eh_hiT), r4(eh_loT))
 
+    unlane = lambda a, rows: a.transpose(1, 0, 2, 3).reshape(
+        rows, nb)[:, :n_blk]
+    xs = unlane(xs, 7)
     stf = FieldState(
         val=xs[0], h_hi=xs[1], h_lo=xs[2],
         p=jax.lax.bitcast_convert_type(xs[3], _I32),
         last_ev=jax.lax.bitcast_convert_type(xs[4], _I32),
         n_ev=jax.lax.bitcast_convert_type(xs[5], _I32))
-    return stf, ev != 0, pv, plast
+    cnt = jax.lax.bitcast_convert_type(xs[6], _I32)
+    return (stf, cnt, unlane(lp, capl), unlane(lv, capl),
+            unlane(ll, capl))
 
 
 def _run_sweep(tT, last_i, W, n_blk, state0, start, end, active_lane,
-               force_entry, thr_hi, thr_lo):
-    """Backend dispatch: Mosaic kernel on TPU (native column loop), the
-    XLA lax.scan elsewhere (this platform's XLA while-loop iterations
-    cost ~90us through the remote runtime; Mosaic loops are on-core)."""
+               force_entry, thr_hi, thr_lo, capl):
+    """Backend dispatch: Mosaic kernel on TPU (native column loop +
+    in-kernel list emission), the XLA lax.scan + dense-to-list
+    conversion elsewhere (this platform's XLA while-loop iterations
+    cost ~90us through the remote runtime; Mosaic loops are on-core).
+
+    Returns (exit_state, cnt, pos_list, pval_list, plast_list)."""
     if jax.default_backend() == "tpu":
         return _sweep_pallas(tT, last_i, W, n_blk, state0, start, end,
-                             active_lane, force_entry, thr_hi, thr_lo)
-    return _sweep(tT, last_i, W, n_blk, state0, start, end,
-                  active_lane, force_entry, thr_hi, thr_lo)
+                             active_lane, force_entry, thr_hi, thr_lo,
+                             capl)
+    st, ev, pval, plast = _sweep(tT, last_i, W, n_blk, state0, start,
+                                 end, active_lane, force_entry, thr_hi,
+                                 thr_lo)
+    return (st,) + _lists_from_dense(ev, pval, plast, n_blk, capl)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -478,10 +586,16 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
             [a, jnp.zeros((B, n_blk - n_real), a.dtype)], axis=1)
             for a in tT)
 
+    # per-lane selected-event list capacity: sized so the expected
+    # occupancy (sel_cap spread over the lanes) has ~8x headroom;
+    # overflowing lanes raise status and the caller falls back
+    capl = min(128, max(16, _pow2_ge(
+        -((-8 * sel_cap) // max(n_real, 1)))))
+
     # ---- sweep 1: suffixes from each block's first sync ----
-    st1, ev_flag, ev_pval, ev_plast = _run_sweep(
+    st1, c_suf, suf_p, suf_v, suf_l = _run_sweep(
         tT, t.last_i, W, n_blk, zst, fs, jnp.full((n_blk,), B, _I32),
-        has_sync, True, thr_hi, thr_lo)
+        has_sync, True, thr_hi, thr_lo, capl)
 
     exit_val = st1.val
     exit_hh = st1.h_hi
@@ -508,6 +622,10 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
     # prefix has no events): the payload the lane's sync event closes
     pre_val = jnp.zeros((n_blk,), _U32)
     pre_le = jnp.full((n_blk,), -1, _I32)
+    c_pre = jnp.zeros((n_blk,), _I32)
+    pre_p = jnp.zeros((capl, n_blk), _I32)
+    pre_v = jnp.zeros((capl, n_blk), _U32)
+    pre_l = jnp.zeros((capl, n_blk), _I32)
     for _ in range(_MAX_PASSES):
         pred_known = pred(exit_known, True)
         can = ~prefix_done & pred_known
@@ -518,12 +636,14 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
             p=pred(exit_p, ent_p),
             last_ev=pred(exit_le, ent_le),
             n_ev=jnp.zeros((n_blk,), _I32))
-        st2, ev2, pv2, pl2 = _run_sweep(
+        st2, c2, p2, v2, l2 = _run_sweep(
             tT, t.last_i, W, n_blk, st0, jnp.zeros((n_blk,), _I32), fs,
-            can, False, thr_hi, thr_lo)
-        ev_flag = ev_flag | ev2
-        ev_pval = jnp.where(ev2, pv2, ev_pval)
-        ev_plast = jnp.where(ev2, pl2, ev_plast)
+            can, False, thr_hi, thr_lo, capl)
+        canw = can[None, :]
+        pre_p = jnp.where(canw, p2, pre_p)
+        pre_v = jnp.where(canw, v2, pre_v)
+        pre_l = jnp.where(canw, l2, pre_l)
+        c_pre = jnp.where(can, c2, c_pre)
         prefix_ev = jnp.where(can, st2.n_ev, prefix_ev)
         pre_val = jnp.where(can, st2.val, pre_val)
         pre_le = jnp.where(can, st2.last_ev, pre_le)
@@ -537,33 +657,53 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
         exit_le = jnp.where(newly_exit, st2.last_ev, exit_le)
         exit_known = exit_known | newly_exit
         prefix_done = prefix_done | can
-    status = jnp.sum(~prefix_done).astype(_I32)
+    # unresolved lanes or any per-lane list overflow both force the
+    # caller's exact fallback
+    status = (jnp.sum(~prefix_done) + jnp.sum(c_suf > capl)
+              + jnp.sum(c_pre > capl)).astype(_I32)
 
-    # ---- resolve the deferred entry emits: each sync event closes the
-    # super-k-mer carried at the end of ITS OWN prefix (which equals
-    # the predecessor's exit when the prefix had no events) ----
-    # ev arrays are (B, n_blk); out-of-bounds column B drops the write
-    # for non-sync lanes
-    cols_ = jnp.where(has_sync, fs, B)
-    ev_pval = ev_pval.at[cols_, lanes].set(pre_val, mode="drop")
-    ev_plast = ev_plast.at[cols_, lanes].set(pre_le + 1, mode="drop")
+    # ---- synthesize the deferred entry emits: each sync event closes
+    # the super-k-mer carried at the end of ITS OWN prefix (which
+    # equals the predecessor's exit when the prefix had no events) ----
+    e_sel = has_sync & ((pre_val >> 31) == 1)
+    e_pos = lane_base + fs
+    e_val = pre_val
+    e_last = pre_le + 1
 
-    # ---- selected-boundary compaction (9-tuple compact contract) ----
-    # the prev payload word carries its sel bit (bit 31, stored when
-    # the previous event installed it); transpose back to position-
-    # major order for the emit extraction
-    flat_flag = ev_flag.T.reshape(-1)
-    flat_pval = ev_pval.T.reshape(-1)
-    flat_plast = ev_plast.T.reshape(-1)
-    sel_mask = flat_flag & ((flat_pval >> 31) == 1)
-    n_sel = jnp.sum(sel_mask).astype(_I32)
+    # ---- selected-boundary extraction (9-tuple compact contract) ----
+    # per lane, position order is: prefix list, entry event, suffix
+    # list; lanes ascend, so concatenation order == global position
+    # order. Output rank i maps to (lane, section, slot) through the
+    # per-lane count prefix sums — every array here is sel_cap- or
+    # n_blk-sized (the dense 16.7M-position nonzero this replaces cost
+    # ~38 ms/record on-chip).
+    counts = c_pre + e_sel.astype(_I32) + c_suf
+    n_sel = jnp.sum(counts).astype(_I32)
     n_ev = jnp.sum(suffix_ev) + jnp.sum(prefix_ev) + entry[5]
 
-    idx = jnp.nonzero(sel_mask, size=sel_cap, fill_value=P - 1)[0]
-    ok = jnp.arange(sel_cap, dtype=_I32) < n_sel
-    pos = jnp.where(ok, idx.astype(_I32), -1)
-    last = jnp.where(ok, flat_plast[idx], -1)
-    valw = jnp.where(ok, flat_pval[idx], 0)
+    offs = jnp.cumsum(counts)
+    iidx = jnp.arange(sel_cap, dtype=_I32)
+    lane_i = jnp.searchsorted(offs, iidx, side="right")
+    lane_c = jnp.clip(lane_i, 0, n_blk - 1).astype(_I32)
+    base = offs[lane_c] - counts[lane_c]
+    r_in = iidx - base
+    cp = c_pre[lane_c]
+    es = e_sel[lane_c]
+    in_pre = r_in < cp
+    is_ent = (r_in == cp) & es
+    suf_slot = r_in - cp - es.astype(_I32)
+    pre_idx = jnp.clip(r_in, 0, capl - 1) * n_blk + lane_c
+    suf_idx = jnp.clip(suf_slot, 0, capl - 1) * n_blk + lane_c
+
+    def pick(pre_a, e_a, suf_a):
+        return jnp.where(
+            in_pre, pre_a.reshape(-1)[pre_idx],
+            jnp.where(is_ent, e_a[lane_c], suf_a.reshape(-1)[suf_idx]))
+
+    ok = iidx < n_sel
+    pos = jnp.where(ok, pick(pre_p, e_pos, suf_p), -1)
+    last = jnp.where(ok, pick(pre_l, e_last, suf_l), -1)
+    valw = jnp.where(ok, pick(pre_v, e_val, suf_v), 0)
     val = valw & ((1 << 30) - 1)
     rev = (valw >> 30) & 1
 

@@ -461,15 +461,28 @@ class TpuSubsampler(OracleSubsampler):
         self._nf_obj = NativeFinisher(self.k, self.m, self.abundance)
         return self._nf_obj
 
-    def _launch_scan(self, ref: bytes):
+    def _launch_scan(self, ref: bytes, codes=None):
         """Asynchronously dispatch the device scan + chain walk for one
         sequence (jax dispatch is non-blocking). Sequences that fit one
         tile take the single-dispatch path; longer ones stream through
-        TiledDeviceChain with O(tile) memory."""
+        TiledDeviceChain with O(tile) memory.
+
+        codes: optional precomputed 2-bit code array for ref (from
+        native.clean_codes_native) — skips the re-translate inside
+        pack_ref_2bit."""
         k, m = self.k, self.m
         L = len(ref)
         if isinstance(ref, str):
             ref = ref.encode()
+
+        def pack(padded, halo=0):
+            if codes is not None:
+                from supersampler_tpu.native import pack_halo_native
+
+                p = pack_halo_native(codes, padded, halo)
+                if p is not None:
+                    return p
+            return pack_ref_2bit(ref, padded, halo)
         margin = 2 * (2 * k - m + 2) + 128
         thr = self.threshold
         dedup = self._dedup_on()
@@ -480,8 +493,7 @@ class TpuSubsampler(OracleSubsampler):
             else:
                 own = self._tile_own
                 n_tiles = max(1, -(-(L - k) // own))
-            slab = pack_ref_2bit(ref, n_tiles * own + self._tile_extra,
-                                 halo=128)
+            slab = pack(n_tiles * own + self._tile_extra, halo=128)
             sel_guess = (own if self.s <= 1 else self._sel_cap_guess)
             return FieldChain(
                 slab, n_tiles, k, m, L, thr, own,
@@ -497,11 +509,10 @@ class TpuSubsampler(OracleSubsampler):
                 guess = self._sel_cap_guess
             if not dedup:
                 return _scan_chain_packed(
-                    jnp.asarray(pack_ref_2bit(ref, P)), k, m, P,
-                    jnp.int32(L),
+                    jnp.asarray(pack(P)), k, m, P, jnp.int32(L),
                     jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF),
                     sel_cap_guess=guess)
-            packed_ext = jnp.asarray(pack_ref_2bit(ref, P, halo=128))
+            packed_ext = jnp.asarray(pack(P, halo=128))
             tables = device_scan_2d_packed(
                 packed_ext[32:], k, m, P, jnp.int32(L),
                 U.U64(jnp.uint32(thr >> 32),
@@ -512,8 +523,7 @@ class TpuSubsampler(OracleSubsampler):
                 sel_cap_guess=guess, kmer_cap_guess=kguess)
         own = self._tile_own
         n_tiles = max(1, -(-(L - k) // own))
-        slab = pack_ref_2bit(ref, n_tiles * own + self._tile_extra,
-                             halo=128)
+        slab = pack(n_tiles * own + self._tile_extra, halo=128)
         return TiledDeviceChain(
             slab, n_tiles, k, m, L, thr,
             sel_cap_guess=self._sel_cap_guess,
@@ -554,6 +564,7 @@ class TpuSubsampler(OracleSubsampler):
         import sys
 
         from supersampler_tpu.io.fasta import clean_dna, iter_fasta_raw
+        from supersampler_tpu.native import clean_codes_native
         from supersampler_tpu.core.scalar import MASK64
         from supersampler_tpu.utils.profiling import device_trace, phase
 
@@ -577,11 +588,15 @@ class TpuSubsampler(OracleSubsampler):
             # the CLEANED length, so it lives there too
             def launch(raw):
                 with phase("launch_scan"):
-                    ref = clean_dna(raw)
+                    cc = clean_codes_native(raw)
+                    if cc is None:
+                        ref, codes = clean_dna(raw), None
+                    else:
+                        ref, codes = cc
                     if len(ref) < k:
                         return None
                     self.read_kmer += len(ref) - k + 1
-                    return ref, self._launch_scan(ref)
+                    return ref, self._launch_scan(ref, codes=codes)
 
             def launch_then_fetch(lfut):
                 with phase("device+fetch"):

@@ -73,3 +73,29 @@ def test_native_multi_record_file(tmp_path):
     t = NativeSub(k=31, m=11, s=80.0)
     got = t.sketch_file(str(fa))
     assert got == want
+
+
+def test_native_clean_codes_and_pack():
+    """csrc/spsp_io.c clean+pack == the Python translate/fold path."""
+    from supersampler_tpu.io.fasta import clean_dna
+    from supersampler_tpu.native import (clean_codes_native,
+                                         pack_halo_native)
+    from supersampler_tpu.ops.minimizer import pack_ref_2bit
+
+    raw = (b">x\nACGTnnNNacgtXYZ\nTTTgggCCCaaa\r\n" * 37
+           + b"A\x00C*G-T")
+    cc = clean_codes_native(raw)
+    if cc is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    ref, codes = cc
+    want_ref = clean_dna(raw)
+    assert ref == want_ref
+    lut = np.full(256, 255, np.uint8)
+    for ch, v in zip(b"ACTG", range(4)):
+        lut[ch] = v
+    assert np.array_equal(codes, lut[np.frombuffer(ref, np.uint8)])
+    for halo, padded in ((0, 2048), (128, 4096)):
+        got = pack_halo_native(codes, padded, halo)
+        want = pack_ref_2bit(ref, padded, halo)
+        assert np.array_equal(got, want), (halo, padded)

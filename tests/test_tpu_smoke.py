@@ -37,6 +37,29 @@ def test_golden_sketch_on_tpu(datadir, goldendir):
     assert done >= 2
 
 
+def test_golden_sketch_field_engine_on_tpu(datadir, goldendir):
+    """Field engine (Mosaic sweeps + list emission + resolve) vs golden
+    bytes on the chip."""
+    from supersampler_tpu.sketch.pipeline import TpuSubsampler
+
+    class FieldSub(TpuSubsampler):
+        scan_engine = "field"
+
+    with open(os.path.join(goldendir, "meta.json")) as f:
+        meta = json.load(f)["sketches"]
+    done = 0
+    for cfg in meta:
+        if cfg["dataset"] != "simple":
+            continue
+        ss = FieldSub(k=cfg["k"], m=cfg["m"], s=float(cfg["s"]),
+                      abundance=cfg["a"])
+        raw = ss.sketch_file(datadir[cfg["dataset"]])
+        want = gzip.open(os.path.join(goldendir, cfg["file"]), "rb").read()
+        assert raw == want, cfg["file"]
+        done += 1
+    assert done >= 2
+
+
 def test_golden_compare_on_tpu(goldendir, tmp_path, monkeypatch):
     """Device (MXU) comparator engine vs golden CSVs on the chip."""
     from supersampler_tpu.compare.merge import TpuComparator
@@ -89,13 +112,15 @@ def test_mosaic_sweep_matches_xla_on_tpu():
         last_ev=jnp.full((n_blk,), -1, jnp.int32),
         n_ev=jnp.zeros((n_blk,), jnp.int32))
     end = jnp.full((n_blk,), F._B, jnp.int32)
-    a = F._sweep(tT, t.last_i, W, n_blk, zst, fs, end, has_sync, True,
-                 thi, tlo)
+    capl = 16
+    st_a, ev, pval, plast = F._sweep(tT, t.last_i, W, n_blk, zst, fs,
+                                     end, has_sync, True, thi, tlo)
+    a = (st_a,) + F._lists_from_dense(ev, pval, plast, n_blk, capl)
     b = F._sweep_pallas(tT, t.last_i, W, n_blk, zst, fs, end, has_sync,
-                        True, thi, tlo, interpret=False)
+                        True, thi, tlo, capl, interpret=False)
     for f, (xa, ya) in enumerate(zip(a[0], b[0])):
         assert np.all(np.asarray(xa) == np.asarray(ya)), ("state", f)
-    for i in range(1, 4):
+    for i in range(1, 5):
         assert np.all(np.asarray(a[i]) == np.asarray(b[i])), i
 
 
