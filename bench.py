@@ -18,9 +18,10 @@ Three sketching rates are reported (median over TRIALS, with spread =
     HBM, timed by the difference between a 2N-record and an N-record
     queue drain (cancels the constant dispatch + final-fetch latency
     of the ~23 ms host link round-trip);
-  * device_path: N records' H2D + scan + walk + compact enqueued
+  * device_path: N records' H2D + scan + resolve + compact enqueued
     back-to-back, wall-clocked to the final record's compact fetch
-    (the protocol of rounds 1-2, kept for cross-round comparability);
+    (the protocol of rounds 1-2, kept for cross-round comparability;
+    routed through the default sync-field engine since r3);
   * end_to_end: TpuSubsampler.sketch_file wall time including FASTA
     parsing, host link transfers, host assembly and serialization.
     This is the headline value (everything included).
@@ -123,14 +124,13 @@ def main():
             [drain_field(2 * NREC) for _ in range(TRIALS)])
         field_dt = max(tf_l - tf_s, 1e-9)
         field_mbps = NREC * glen / 1e6 / field_dt
-    except Exception as e:      # opt-in engine must not sink the bench
+    except Exception as e:      # engine failure must not sink the bench
         field_mbps = 0.0
         f_short = f_long = {"error": f"{type(e).__name__}: {e}"[:200]}
         field_dt = -1.0
 
-    # (b) the successor-table + serial-walker engine (the default: the
-    # field engine's sweeps hit this platform's ~90us/iteration XLA
-    # loop overhead, see pipeline.TpuSubsampler.scan_engine)
+    # (b) the successor-table + serial-walker engine (the exact
+    # fallback; the sync-field engine above is the product default)
     def drain(n):
         t0 = time.perf_counter()
         dc = None
@@ -147,14 +147,17 @@ def main():
     kernel_dt = max(t_long - t_short, 1e-9)
     kernel_mbps = NREC * glen / 1e6 / kernel_dt
 
-    # --- device path (rounds 1-2 protocol: H2D inside the loop) --------
+    # --- device path (rounds 1-2 protocol: H2D inside the loop; routed
+    # through the default field engine since r3) ------------------------
     def device_path_once():
         t0 = time.perf_counter()
-        dcs = []
-        for p in packed_in:
-            t = scan(jax.device_put(p), K, M, PAD, jnp.int32(glen), thrv)
-            dcs.append(DeviceChain(t))
-        dcs[-1].compact()
+        arr = None
+        for p in ext_in:
+            ft = device_scan_field_packed(
+                jax.device_put(p)[32:], K, M, PAD, jnp.int32(glen), True)
+            entry = field_entry_init(ft, thi, tlo)
+            arr = resolve_field(ft, K, M, 4096, entry, thi, tlo)
+        jax.device_get(arr)
         return time.perf_counter() - t0
 
     dp_med, dp_st = _stats([device_path_once() for _ in range(TRIALS)])
@@ -238,26 +241,25 @@ def main():
         "detail": {
             "end_to_end_mbases_s": round(e2e_mbps, 1),
             "end_to_end": e2e_st,
-            "kernel_mbases_s": round(kernel_mbps, 1),
+            "kernel_mbases_s": round(field_mbps, 1),
             "kernel_vs_baseline": round(
-                kernel_mbps / BASELINE_CPU_8T_MBASES_S, 3),
-            "kernel": {"short": short_st, "long": long_st,
-                       "diff_s": round(kernel_dt, 4),
-                       "engine": "succ-tables+walker (default)"},
-            "field_kernel_mbases_s": round(field_mbps, 1),
-            "field_kernel": {"short": f_short, "long": f_long,
-                             "diff_s": round(field_dt, 4),
-                             "engine": "sync-field (opt-in)"},
+                field_mbps / BASELINE_CPU_8T_MBASES_S, 3),
+            "kernel": {"short": f_short, "long": f_long,
+                       "diff_s": round(field_dt, 4),
+                       "engine": "sync-field (default)"},
+            "walker_kernel_mbases_s": round(kernel_mbps, 1),
+            "walker_kernel": {"short": short_st, "long": long_st,
+                              "diff_s": round(kernel_dt, 4),
+                              "engine": "succ-tables+walker (fallback)"},
             "roofline": {
-                "note": "kernel split (measured r3): scan ~6ms/4.2Mbp "
-                        "+ serial walk ~15.7ms (385k events @ ~40ns "
-                        "on the scalar core) + compact ~1ms. The "
-                        "sync-field engine removes the serial walk "
-                        "algorithmically but its lockstep sweeps pay "
-                        "~90us/iteration XLA while-loop overhead on "
-                        "this remote TPU runtime; moving them into a "
-                        "Mosaic kernel (native loops) is the next "
-                        "lever toward the 10x north-star.",
+                "note": "sync-field kernel split (measured r3): field "
+                        "scan ~3.5ms/4.2Mbp + Mosaic sweeps+resolve "
+                        "~1.7ms; the serial walker fallback pays "
+                        "~15.7ms of scalar-core chain steps instead. "
+                        "e2e now pays the ~100 MB/s host link (2-bit "
+                        "packed => ~400 Mbases/s H2D ceiling) plus "
+                        "host parse/pack; overlapping record streams "
+                        "hide part of it.",
             },
             "device_path_mbases_s": round(device_mbps, 1),
             "device_path_vs_baseline": round(

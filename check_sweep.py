@@ -29,9 +29,9 @@ zst = F.FieldState(
     n_ev=jnp.zeros((n_blk,), jnp.int32))
 end = jnp.full((n_blk,), F._B, jnp.int32)
 capl = 16
-sa, ev, pval, plast = F._sweep(tT, t.last_i, W, n_blk, zst, fs, end,
-                               has_sync, True, thi, tlo)
-a = (sa,) + F._lists_from_dense(ev, pval, plast, n_blk, capl)
+sa, ev, pval, plast, isent = F._sweep(tT, t.last_i, W, n_blk, zst, fs,
+                                      end, has_sync, True, thi, tlo)
+a = (sa,) + F._lists_from_dense(ev, pval, plast, isent, n_blk, capl)
 b = F._sweep_pallas(tT, t.last_i, W, n_blk, zst, fs, end, has_sync, True,
                     thi, tlo, capl, interpret=False)
 for f, (xa, ya) in enumerate(zip(a[0], b[0])):
@@ -39,9 +39,10 @@ for f, (xa, ya) in enumerate(zip(a[0], b[0])):
 for i in range(1, 5):
     assert np.all(np.asarray(a[i]) == np.asarray(b[i])), i
 z = jnp.zeros((n_blk,), jnp.int32)
-sa2, ev2, pval2, plast2 = F._sweep(tT, t.last_i, W, n_blk, zst, z,
-                                   fs, has_sync, False, thi, tlo)
-a2 = (sa2,) + F._lists_from_dense(ev2, pval2, plast2, n_blk, capl)
+sa2, ev2, pval2, plast2, ise2 = F._sweep(tT, t.last_i, W, n_blk, zst,
+                                         z, fs, has_sync, False, thi,
+                                         tlo)
+a2 = (sa2,) + F._lists_from_dense(ev2, pval2, plast2, ise2, n_blk, capl)
 b2 = F._sweep_pallas(tT, t.last_i, W, n_blk, zst, z, fs, has_sync, False,
                      thi, tlo, capl, interpret=False)
 for f, (xa, ya) in enumerate(zip(a2[0], b2[0])):

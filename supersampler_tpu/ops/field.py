@@ -206,13 +206,16 @@ def _sweep(tT, last_i, W: int, n_blk: int, state0: FieldState,
     tT: transposed tables from _transpose_tables. start/end: (n_blk,)
     i32 column bounds per lane. When force_entry, an adoption is forced
     at column == start (the sync theorem's entry; its emit bookkeeping
-    is deferred — prev_last records -2).
+    is deferred — the returned is_ent mask marks it).
 
     Returns (exit_state, ev(B, n_blk), prev_val(B, n_blk),
-    prev_last(B, n_blk)): per-event flag + the PREVIOUS event's payload
-    (val|rev<<30|sel<<31) and last_position — what boundary emits need.
-    Outputs are lax.scan-stacked; the caller merges sweeps (each
-    position fires in exactly one ACTIVE sweep).
+    prev_last(B, n_blk), is_ent(B, n_blk)): per-event flag + the
+    PREVIOUS event's payload (val|rev<<30|sel<<31) and last_position —
+    what boundary emits need — plus the explicit entry-event mask
+    (cross-tile carries make last_ev arbitrarily negative, so no
+    in-band plast sentinel can mark entries safely). Outputs are
+    lax.scan-stacked; the caller merges sweeps (each position fires in
+    exactly one ACTIVE sweep).
     """
     h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT = tT
     lane_base = jnp.arange(n_blk, dtype=_I32) * _B
@@ -239,7 +242,7 @@ def _sweep(tT, last_i, W: int, n_blk: int, state0: FieldState,
         new_p = jnp.where(adopt, j + W, ep_c + j + 1)
 
         prev_val = st.val
-        prev_last = jnp.where(is_entry, -2, st.last_ev + 1)
+        prev_last = st.last_ev + 1
         st = FieldState(
             val=jnp.where(ev, new_val, st.val),
             h_hi=jnp.where(ev, new_hh, st.h_hi),
@@ -248,12 +251,12 @@ def _sweep(tT, last_i, W: int, n_blk: int, state0: FieldState,
             last_ev=jnp.where(ev, j, st.last_ev),
             n_ev=st.n_ev + ev.astype(_I32))
         return st, (ev, jnp.where(ev, prev_val, 0),
-                    jnp.where(ev, prev_last, -1))
+                    jnp.where(ev, prev_last, -1), is_entry)
 
-    st, (ev, pval, plast) = jax.lax.scan(
+    st, (ev, pval, plast, isent) = jax.lax.scan(
         step, state0, (rs, h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT),
         unroll=_UNROLL)
-    return st, ev, pval, plast
+    return st, ev, pval, plast, isent
 
 
 def _pow2_ge(n: int) -> int:
@@ -263,12 +266,12 @@ def _pow2_ge(n: int) -> int:
     return p
 
 
-def _lists_from_dense(ev, pval, plast, n_blk: int, capl: int):
+def _lists_from_dense(ev, pval, plast, isent, n_blk: int, capl: int):
     """Per-lane compacted selected-event lists from dense (B, n_blk)
     sweep outputs — the XLA-backend path (the Mosaic kernel emits
     lists directly; materializing 16.7M-position dense event arrays
     and nonzero-compacting them costs ~38 ms/record on the chip,
-    measured r4). Entry events (plast == -2 marker) are excluded;
+    measured r4). Entry events (the isent mask) are excluded;
     resolve_field synthesizes them once the prefix payload is known.
 
     Returns (cnt(n_blk,), pos(capl, n_blk), pval(capl, n_blk),
@@ -276,7 +279,7 @@ def _lists_from_dense(ev, pval, plast, n_blk: int, capl: int):
     (extra events are dropped from the lists; callers detect cnt >
     capl and flag status).
     """
-    emit = ev & ((pval >> 31) == 1) & (plast != -2)
+    emit = ev & ((pval >> 31) == 1) & ~isent
     cnt = jnp.sum(emit, axis=0).astype(_I32)
     slot = jnp.cumsum(emit.astype(_I32), axis=0) - 1
     rows = jax.lax.broadcasted_iota(_I32, (_B, n_blk), 0)
@@ -527,10 +530,11 @@ def _run_sweep(tT, last_i, W, n_blk, state0, start, end, active_lane,
         return _sweep_pallas(tT, last_i, W, n_blk, state0, start, end,
                              active_lane, force_entry, thr_hi, thr_lo,
                              capl)
-    st, ev, pval, plast = _sweep(tT, last_i, W, n_blk, state0, start,
-                                 end, active_lane, force_entry, thr_hi,
-                                 thr_lo)
-    return (st,) + _lists_from_dense(ev, pval, plast, n_blk, capl)
+    st, ev, pval, plast, isent = _sweep(tT, last_i, W, n_blk, state0,
+                                        start, end, active_lane,
+                                        force_entry, thr_hi, thr_lo)
+    return (st,) + _lists_from_dense(ev, pval, plast, isent, n_blk,
+                                     capl)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

@@ -413,14 +413,15 @@ class TpuSubsampler(OracleSubsampler):
     # dominate; off for sparse selection where the extra device pass
     # costs more than it saves.
     device_dedup = None
-    # scan engine: "legacy" = successor tables + serial Pallas walker;
-    # "field" = sync-field resolution (ops/field.py) — walker-free and
-    # exact. The field engine's Mosaic sweep kernel is validated
-    # bit-exact on-chip (r3) but its surrounding XLA glue (per-sweep
-    # transposes/padding, idle prefix passes) still leaves it behind
-    # the walker end-to-end (docs/PERF.md), so legacy stays the
-    # default. Both engines are golden-tested.
-    scan_engine = "legacy"
+    # scan engine: "field" = sync-field resolution (ops/field.py) —
+    # walker-free, exact, and the default: with the Mosaic sweep
+    # kernel emitting sparse in-kernel event lists it measures ~806
+    # Mbases/s data-resident vs the walker's ~246 (docs/PERF.md).
+    # "legacy" = successor tables + serial Pallas walker — kept as the
+    # exact fallback (FieldChain re-runs through it automatically when
+    # the sync theorem's pass budget overflows, e.g. megabase
+    # homopolymers). Both engines are golden-tested.
+    scan_engine = "field"
 
     # native (C) host finisher: k-mer store + greedy reconstruction +
     # serialization in csrc/spsp_finish.c — the host tail is the

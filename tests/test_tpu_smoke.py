@@ -113,9 +113,10 @@ def test_mosaic_sweep_matches_xla_on_tpu():
         n_ev=jnp.zeros((n_blk,), jnp.int32))
     end = jnp.full((n_blk,), F._B, jnp.int32)
     capl = 16
-    st_a, ev, pval, plast = F._sweep(tT, t.last_i, W, n_blk, zst, fs,
-                                     end, has_sync, True, thi, tlo)
-    a = (st_a,) + F._lists_from_dense(ev, pval, plast, n_blk, capl)
+    st_a, ev, pval, plast, isent = F._sweep(
+        tT, t.last_i, W, n_blk, zst, fs, end, has_sync, True, thi, tlo)
+    a = (st_a,) + F._lists_from_dense(ev, pval, plast, isent, n_blk,
+                                      capl)
     b = F._sweep_pallas(tT, t.last_i, W, n_blk, zst, fs, end, has_sync,
                         True, thi, tlo, capl, interpret=False)
     for f, (xa, ya) in enumerate(zip(a[0], b[0])):
