@@ -58,6 +58,31 @@ def iter_fasta_raw(path: str) -> Iterator[bytes]:
         yield body
 
 
+def read_fasta_spans(path: str):
+    """Read the whole file once and return (data, [(start, end), ...])
+    where data[start:end] is each RAW record body (newlines embedded) —
+    zero-copy record access for the native clean+pack path
+    (reference getLineFasta semantics, utils.cpp:706-718)."""
+    with open_maybe_gzip(path) as f:
+        data = f.read()
+    spans = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        nl = data.find(b"\n", pos)   # discard the current (header) line
+        if nl < 0:
+            spans.append((n, n))
+            break
+        nxt = data.find(b"\n>", nl)
+        if nxt < 0:
+            spans.append((nl + 1, n))
+            pos = n
+        else:
+            spans.append((nl + 1, nxt))
+            pos = nxt + 1
+    return data, spans
+
+
 def iter_fasta_records(path: str) -> Iterator[bytes]:
     """Yield cleaned sequences exactly as the reference's read loop does
     (reference SubSampler.cpp:334-347 + utils.cpp:706-718).

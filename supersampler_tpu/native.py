@@ -30,8 +30,8 @@ def _build() -> bool:
     for cc in ("cc", "gcc", "g++", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-o", _LIB] + srcs
-                + ["-lm"],
+                [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", _LIB] + srcs + ["-lm"],
                 capture_output=True)
             if r.returncode == 0:
                 return True
@@ -78,7 +78,7 @@ def get_lib():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
             lib.spsp_finish_free.argtypes = [ctypes.c_void_p]
             lib.spsp_finish_spans.argtypes = [
-                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p]
             lib.spsp_finish_serialize.restype = ctypes.c_int64
@@ -98,6 +98,13 @@ def get_lib():
                 ctypes.c_int64, ctypes.c_int64]
         except AttributeError:
             pass
+        try:
+            lib.spsp_clean_pack.restype = ctypes.c_int64
+            lib.spsp_clean_pack.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -115,15 +122,22 @@ class NativeFinisher:
         self._lib = get_lib()
         self._h = self._lib.spsp_finish_new(k, m, abundance)
 
-    def add_spans(self, ref: bytes, pos, last, val, rev) -> None:
+    def add_spans(self, ref, pos, last, val, rev) -> None:
+        """ref: the cleaned sequence as bytes OR a uint8 numpy array
+        (passed zero-copy by pointer)."""
         import numpy as np
 
         pos = np.ascontiguousarray(pos, np.int64)
         last = np.ascontiguousarray(last, np.int64)
         val = np.ascontiguousarray(val, np.uint32)
         rev = np.ascontiguousarray(rev, np.uint8)
+        if isinstance(ref, np.ndarray):
+            ref = np.ascontiguousarray(ref, np.uint8)
+            ref_ptr, ref_len = ref.ctypes.data, ref.size
+        else:
+            ref_ptr, ref_len = ref, len(ref)
         self._lib.spsp_finish_spans(
-            self._h, ref, len(ref), len(pos), pos.ctypes.data,
+            self._h, ref_ptr, ref_len, len(pos), pos.ctypes.data,
             last.ctypes.data, val.ctypes.data, rev.ctypes.data)
 
     def serialize(self):
@@ -171,6 +185,28 @@ def walk_chain_native(nxt_pos_a, nxt_adopt_a, nxt_pos_r, nxt_adopt_r,
         int(init_pos), 1 if init_adopt else 0,
         out_pos.ctypes.data, out_type.ctypes.data, max_out)
     return out_pos[:cnt], out_type[:cnt]
+
+
+def clean_pack_native(raw_view, padded: int, halo: int = 128):
+    """One-pass clean + 2-bit pack (csrc/spsp_io.c spsp_clean_pack).
+
+    raw_view: np.uint8 array (a zero-copy view into the file buffer is
+    fine). Returns (ref_u8_array_of_cleaned_len, packed_u8_array, o) or
+    None if the library is unavailable. halo and padded must be
+    multiples of 4 with len(raw_view) <= padded (cleaning only
+    shrinks)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "spsp_clean_pack"):
+        return None
+    raw_view = np.ascontiguousarray(raw_view, np.uint8)
+    n = raw_view.size
+    ref = np.empty(max(n, 1), np.uint8)
+    packed = np.empty((halo + padded) >> 2, np.uint8)
+    o = lib.spsp_clean_pack(raw_view.ctypes.data, n, ref.ctypes.data,
+                            packed.ctypes.data, halo, padded)
+    return ref[:o], packed, int(o)
 
 
 def clean_codes_native(raw: bytes):

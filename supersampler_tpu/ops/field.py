@@ -741,6 +741,23 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
 _HEAD = 12
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def scan_resolve_single(slab, k: int, m: int, P: int, sel_cap: int,
+                        length, thr_hi, thr_lo):
+    """Fused single-tile dispatch: unpack + field scan + entry + full
+    resolution as ONE jit program (one RPC through the remote runtime
+    instead of three; the intermediate FieldTables never materialize as
+    separate dispatch boundaries).
+
+    slab: the 128-position-halo'd packed byte array of a single-tile
+    record ((128 + P) / 4 bytes); the halo is sliced off on device
+    (XLA fuses the slice into the unpack). Returns resolve_field's
+    fetch array."""
+    t = scan_field_2d_packed(slab[32:], k, m, P, length, True)
+    entry = field_entry_init(t, thr_hi, thr_lo)
+    return resolve_field(t, k, m, sel_cap, entry, thr_hi, thr_lo)
+
+
 @jax.jit
 def field_entry_init(t: FieldTables, thr_hi, thr_lo):
     """Entry state for the first region of a sequence: the window-0

@@ -49,6 +49,14 @@ device_scan_field_packed = jax.jit(scan_field_2d_packed,
                                    static_argnums=(1, 2, 3, 5, 6))
 
 
+@jax.jit
+def _stack_arrs(arrs):
+    """Stack same-shaped compact arrays so one D2H transfer fetches a
+    whole record batch (every transfer blocks the in-order device
+    stream for a full link round-trip on this platform)."""
+    return jnp.stack(arrs)
+
+
 def _scan_chain_packed(packed, k: int, m: int, P: int, length, thr_hi,
                        thr_lo, sel_cap_guess: int = 4096) -> DeviceChain:
     """2D scan + Pallas serial chain walk + speculative compaction —
@@ -280,6 +288,12 @@ class FieldChain:
         self._entry = None
         self.failed = False
         self.uniques_list = [] if dedup else None
+        # fused single-tile dispatch: scan+entry+resolve as one jit
+        # (one RPC instead of three; measured ~2 ms/record of remote
+        # dispatch latency saved). CPU keeps split dispatches — fusing
+        # multiplies CPU-backend compile time for no dispatch win.
+        self._fused = (n_tiles == 1 and not dedup
+                       and jax.default_backend() == "tpu")
         for _ in range(min(window, n_tiles)):
             self._dispatch_one()
 
@@ -288,6 +302,19 @@ class FieldChain:
         self._next_tile += 1
         k, m = self._k, self._m
         own, P_t = self._own, self._tile_p
+        if self._fused:
+            from supersampler_tpu.ops.field import scan_resolve_single
+
+            cap = _pow2_ge(own if self._select_all else self._guess)
+            slab_dev = jnp.asarray(self._slab[: (P_t + 128) >> 2])
+            arr = scan_resolve_single(slab_dev, k, m, P_t, cap,
+                                      jnp.int32(self._L), *self._thr)
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._pending.append((0, None, None, slab_dev, cap, 0, arr))
+            return
         b0 = (t * own) >> 2
         ext = jnp.asarray(self._slab[b0 : b0 + ((P_t + 128) >> 2)])
         last = t == self._n_tiles - 1
@@ -300,7 +327,8 @@ class FieldChain:
                  else self._entry)
         cap = _pow2_ge(own if self._select_all else self._guess)
         arr = resolve_field(ft, k, m, cap, entry, *self._thr)
-        self._entry = field_carry(arr, own)
+        if t < self._n_tiles - 1:   # the last tile's carry is never read
+            self._entry = field_carry(arr, own)
         K = 0
         if self._dedup:
             K = _pow2_ge(own if self._select_all else self._kguess)
@@ -323,6 +351,15 @@ class FieldChain:
         n_kmers = int(a[12 + 4 * cap]) if self._dedup else 0
         while n_sel > cap or (self._dedup and n_kmers > K):
             cap = max(_pow2_ge(max(n_sel, 1)), cap)
+            if ft is None:     # fused path: re-run the one-shot program
+                from supersampler_tpu.ops.field import scan_resolve_single
+
+                arr = scan_resolve_single(ext, self._k, self._m,
+                                          self._tile_p, cap,
+                                          jnp.int32(self._L), *self._thr)
+                a = jax.device_get(arr)
+                n_sel = int(a[1])
+                continue
             arr = resolve_field(ft, self._k, self._m, cap, entry,
                                 *self._thr)
             if self._dedup:
@@ -553,12 +590,248 @@ class TpuSubsampler(OracleSubsampler):
     def scan_sequence(self, ref: str) -> None:
         self._finish_scan(ref, self._launch_scan(ref))
 
+    def _plan_geometry(self, n_raw: int):
+        """Slab geometry (own, n_tiles) for a record whose CLEANED
+        length cannot exceed n_raw (cleaning only strips bytes); None
+        when the record must take the legacy (non-field or tiny)
+        launch path. Planning from the RAW span length lets the prep
+        stage clean + pack in one C pass without knowing the cleaned
+        length up front; a record that cleans into fewer tiles is
+        sliced down after the fact (the slab is a contiguous prefix)."""
+        k, m = self.k, self.m
+        margin = 2 * (2 * k - m + 2) + 128
+        if self.scan_engine != "field" or n_raw + margin <= 1024:
+            return None
+        if n_raw + margin <= self._tile_own:
+            return max(padded_size(n_raw, margin), 2048), 1
+        own = self._tile_own
+        return own, max(1, -(-(n_raw - k) // own))
+
     def sketch_file(self, input_path: str):
+        """Four-stage record pipeline over one FASTA file:
+
+          main: read file once, iterate raw record spans (zero-copy);
+          prep pool (2 workers): C single-pass clean + 2-bit pack into
+            the device slab (csrc/spsp_io.c spsp_clean_pack; ctypes
+            releases the GIL so preps genuinely overlap);
+          launcher (1 worker): H2D + fused scan dispatch in record
+            order (keeps the in-order device queue deterministic);
+          fetcher (1 worker): drains each record's compact array;
+          main: in-order assembly into the C finisher (bucket
+            first-insertion order must follow record order for
+            byte-exact serialization, reference SubSampler.h:62).
+
+        Requires the native library; environments without a toolchain
+        take _sketch_file_compat (the r3 path) instead."""
+        import collections
+        import concurrent.futures
+        import os
+        import sys
+
+        from supersampler_tpu.core.scalar import MASK64
+        from supersampler_tpu.io.fasta import clean_dna, read_fasta_spans
+        from supersampler_tpu.native import clean_pack_native
+        from supersampler_tpu.utils.profiling import device_trace, phase
+
+        k = self.k
+        if not os.path.exists(input_path):
+            log = self.log or sys.stdout
+            print("Problem with file opening", file=log)
+            print(f"Can't open file: {input_path}", file=log)
+            return None
+        if (self._dedup_on() or self._nf() is None
+                or clean_pack_native(np.zeros(0, np.uint8), 4, 4)
+                is None):
+            return self._sketch_file_compat(input_path)
+
+        thr = self.threshold
+        extra = self._tile_extra
+
+        def prep(span):
+            with phase("prep"):
+                s, e = span
+                n_raw = e - s
+                plan = self._plan_geometry(n_raw)
+                if plan is None:
+                    return ("legacy", clean_dna(data[s:e]))
+                own, n_tiles = plan
+                raw = np.frombuffer(data, np.uint8, n_raw, s)
+                ref, slab, L = clean_pack_native(
+                    raw, n_tiles * own + extra, 128)
+                if L < k:
+                    return None
+                if n_tiles > 1:
+                    n2 = max(1, -(-(L - k) // own))
+                    if n2 < n_tiles:
+                        slab = slab[: (128 + n2 * own + extra) >> 2]
+                        n_tiles = n2
+                return ("field", ref, slab, L, own, n_tiles)
+
+        m = self.m
+        thr_w = (jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF))
+        select_all = self.s <= 1
+        on_tpu = jax.default_backend() == "tpu"
+        from supersampler_tpu.ops.field import (field_entry_init,
+                                                parse_field_array,
+                                                resolve_field,
+                                                scan_resolve_single)
+
+        def dispatch_single(slab, L, own, cap):
+            """One single-tile record's compact array: fused program on
+            TPU (one RPC), split dispatches on CPU (fused tracing is
+            compile-heavy on the CPU backend for no dispatch win)."""
+            P_t = own + extra
+            if on_tpu:
+                return scan_resolve_single(jnp.asarray(slab), k, m, P_t,
+                                           cap, jnp.int32(L), *thr_w)
+            ext = jnp.asarray(slab)
+            ft = device_scan_field_packed(ext[32:], k, m, P_t,
+                                          jnp.int32(L), True)
+            entry = field_entry_init(ft, *thr_w)
+            return resolve_field(ft, k, m, cap, entry, *thr_w)
+
+        # --- launcher-thread state: the current fetch batch ----------
+        # Every D2H blocks the in-order device stream for a full link
+        # round-trip (~33 ms measured r4), so per-record fetches would
+        # serialize the stream; stacking up to _FETCH_BATCH compact
+        # arrays into one device concatenation costs one ~us stack
+        # dispatch and ONE round-trip for the whole group.
+        _FETCH_BATCH = 8
+        _FETCH_BYTES = 64 << 20
+        batch = []            # [(record dict, device arr), ...]
+        batch_bytes = 0
+
+        def timed_get(stacked):
+            with phase("device+fetch"):
+                return jax.device_get(stacked)
+
+        def flush_batch():
+            nonlocal batch, batch_bytes
+            if not batch:
+                return
+            items, batch, batch_bytes = batch, [], 0
+            arrs = [a for _, a in items]
+            stacked = arrs[0] if len(arrs) == 1 else _stack_arrs(arrs)
+            try:
+                stacked.copy_to_host_async()
+            except AttributeError:
+                pass
+            fut = fetcher.submit(timed_get, stacked)
+            for i, (rec, _) in enumerate(items):
+                rec["fut"] = fut
+                rec["slot"] = i if len(arrs) > 1 else None
+
+        def launch(pfut, rec):
+            nonlocal batch_bytes
+            p = pfut.result()
+            if p is None:
+                rec["skip"] = True
+                return
+            with phase("launch_scan"):
+                if p[0] == "legacy":
+                    ref = p[1]
+                    if len(ref) < k:
+                        rec["skip"] = True
+                        return
+                    self.read_kmer += len(ref) - k + 1
+                    rec["ref"] = ref
+                    rec["dc"] = self._launch_scan(ref)
+                    return
+                _, ref, slab, L, own, n_tiles = p
+                self.read_kmer += L - k + 1
+                rec["ref"] = ref
+                if n_tiles > 1:
+                    sel_guess = (own if select_all
+                                 else self._sel_cap_guess)
+                    rec["dc"] = FieldChain(
+                        slab, n_tiles, k, m, L, thr, own, extra,
+                        sel_cap_guess=sel_guess,
+                        kmer_cap_guess=self._kmer_cap_guess,
+                        select_all=select_all, dedup=False)
+                    return
+                cap = _pow2_ge(own if select_all
+                               else self._sel_cap_guess)
+                arr = dispatch_single(slab, L, own, cap)
+                rec.update(slab=slab, L=L, own=own, cap=cap)
+                batch.append((rec, arr))
+                batch_bytes += arr.size * 4
+                if (len(batch) >= _FETCH_BATCH
+                        or batch_bytes >= _FETCH_BYTES):
+                    flush_batch()
+
+        def finish_single(rec):
+            """Parse one batched record's host row; re-dispatch on a
+            capacity overflow, fall back to the exact walker path on a
+            resolution failure (status != 0)."""
+            host = rec["fut"].result()
+            a = host if rec["slot"] is None else host[rec["slot"]]
+            cap, L, own = rec["cap"], rec["L"], rec["own"]
+            n_sel = int(a[1])
+            while int(a[0]) == 0 and n_sel > cap:
+                cap = _pow2_ge(max(n_sel, 1))
+                arr = dispatch_single(rec["slab"], L, own, cap)
+                a = jax.device_get(arr)
+                n_sel = int(a[1])
+            if int(a[0]) != 0:
+                legacy = TiledDeviceChain(
+                    rec["slab"], 1, k, m, L, thr,
+                    sel_cap_guess=max(4096, cap),
+                    select_all=select_all, own=own, extra=extra,
+                    dedup=False)
+                comp = legacy.compact()
+                n_sel = legacy.n_sel
+            else:
+                _st, comp, n_sel = parse_field_array(a, cap)
+            if not select_all:
+                self._sel_cap_guess = max(4096, 2 * n_sel)
+            self._assemble_compact(rec["ref"], *comp)
+
+        def drain(rec):
+            rec["lfut"].result()
+            if rec.get("skip"):
+                return
+            with phase("assemble"):
+                if "dc" in rec:
+                    self._assemble_from(rec["ref"],
+                                        self._fetch(rec["dc"]))
+                    return
+                if "fut" not in rec:
+                    # this record's batch hasn't flushed yet (tail or
+                    # legacy-interleaved records): flush on the
+                    # launcher thread (it owns the batch state)
+                    launcher.submit(flush_batch).result()
+                finish_single(rec)
+
+        window = 16
+        pending = collections.deque()
+        with device_trace("sketch_file"), \
+                concurrent.futures.ThreadPoolExecutor(2) as preppers, \
+                concurrent.futures.ThreadPoolExecutor(1) as fetcher, \
+                concurrent.futures.ThreadPoolExecutor(1) as launcher:
+            with phase("parse"):
+                data, spans = read_fasta_spans(input_path)
+            for span in spans:
+                if len(pending) >= window:
+                    drain(pending.popleft())
+                rec = {}
+                pf = preppers.submit(prep, span)
+                rec["lfut"] = launcher.submit(launch, pf, rec)
+                pending.append(rec)
+            launcher.submit(flush_batch)
+            while pending:
+                drain(pending.popleft())
+        self.nb_mmer_selected = (self.nb_mmer_selected
+                                 - (self.m - 1)) & MASK64
+        with phase("serialize"):
+            return self.serialize()
+
+    def _sketch_file_compat(self, input_path: str):
         """Like OracleSubsampler.sketch_file but keeps a small window of
         sequences in flight on the device: the scan of record n+1..n+W
         overlaps with the host assembly of record n, and the compaction
-        fetch (the host link has ~23 ms latency per transfer) runs on a
-        background thread so it overlaps host work too."""
+        fetch runs on a background thread so it overlaps host work too.
+        The toolchain-less fallback for sketch_file (no native lib, or
+        the device-dedup path which owns the Python store)."""
         import collections
         import concurrent.futures
         import os
