@@ -72,14 +72,18 @@ def _pow2_le(n: int) -> int:
     return p
 
 
-def scan_field_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
-                  length: jnp.ndarray, first_tile: bool = True,
-                  cols: int = 512) -> FieldTables:
-    """Dense field scan (no successor tables): m-mers, hashes, window
-    elections and sync flags in the 2D-tiled layout of
-    scan_tables_2d."""
-    P = padded_len
-    C = cols
+def _field_core(codes: jnp.ndarray, k: int, m: int, P: int, C: int,
+                first_row):
+    """Shared field-scan core on the (R, C) 2D layout: per-position
+    entering hashes/values, window elections, and RAW sync flags
+    (strict minimum vs the previous 2W entering hashes; position-bound
+    masking is the caller's job).
+
+    first_row: (R,) bool — rows with no predecessor row (their sync
+    lookback pads +inf). One True for a single sequence; one per
+    record for the batched layout.
+
+    Returns (h0, cv, em_r, ep_r, eh_r, sync_raw, em, ep, er, eh)."""
     W = k - m + 1
     halo = k + W
     assert C > halo and P % C == 0 and P % _B == 0
@@ -105,24 +109,12 @@ def scan_field_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
     LH = 2 * W
     prev_tail_hi = jnp.roll(h0.hi, 1, axis=0)[:, C - LH:]
     prev_tail_lo = jnp.roll(h0.lo, 1, axis=0)[:, C - LH:]
-    # row 0 has no predecessor: +inf pad (never smaller); correct for
-    # the first tile; callers mask the first 2W flags of later tiles.
-    row0_ff = jnp.concatenate(
-        [jnp.full((1, LH), 0xFFFFFFFF, _U32),
-         jnp.zeros((R - 1, LH), _U32)], axis=0)
-    lh_hi = jnp.where(row0_ff > 0, _FF, prev_tail_hi)
-    lh_lo = jnp.where(row0_ff > 0, _FF, prev_tail_lo)
+    # predecessor-less rows: +inf pad (never smaller)
+    ff = jnp.broadcast_to(first_row[:, None], (R, LH))
+    lh_hi = jnp.where(ff, _FF, prev_tail_hi)
+    lh_lo = jnp.where(ff, _FF, prev_tail_lo)
     a_hi = jnp.concatenate([lh_hi, h0.hi], axis=1)
     a_lo = jnp.concatenate([lh_lo, h0.lo], axis=1)
-
-    def shmin(hi, lo, s, width):
-        b_hi = _sl(hi, LH - s, width)
-        b_lo = _sl(lo, LH - s, width)
-        c_hi = _sl(hi, LH, width)
-        c_lo = _sl(lo, LH, width)
-        # pairwise u64 min of (b shifted-left-by-s, c)
-        lt = (b_hi < c_hi) | ((b_hi == c_hi) & (b_lo < c_lo))
-        return jnp.where(lt, b_hi, c_hi), jnp.where(lt, b_lo, c_lo)
 
     # build M_t over the halo'd array: M_t[x] = min a[x-t+1 .. x]
     t = _pow2_le(LH)
@@ -150,6 +142,22 @@ def scan_field_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
     mn_hi = jnp.where(lt12, w2_hi, w1_hi)
     mn_lo = jnp.where(lt12, w2_lo, w1_lo)
     sync = (h0.hi < mn_hi) | ((h0.hi == mn_hi) & (h0.lo < mn_lo))
+    return h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh
+
+
+def scan_field_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
+                  length: jnp.ndarray, first_tile: bool = True,
+                  cols: int = 512) -> FieldTables:
+    """Dense field scan (no successor tables): m-mers, hashes, window
+    elections and sync flags in the 2D-tiled layout of
+    scan_tables_2d."""
+    P = padded_len
+    C = cols
+    W = k - m + 1
+    R = P // C
+    first_row = jnp.arange(R) == 0
+    h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh = _field_core(
+        codes, k, m, P, C, first_row)
 
     last_i = (length - k - 1).astype(_I32)
     j2d = (jax.lax.broadcasted_iota(_I32, (R, C), 0) * C
@@ -177,6 +185,68 @@ def scan_field_2d_packed(packed, k, m, padded_len, length,
                          cols)
 
 
+class BatchedFieldTables(NamedTuple):
+    """Field tables for a BATCH of independent records laid
+    position-contiguously: record b owns flat positions
+    [b*P_rec, (b+1)*P_rec). Per-record scalars become (B,) arrays."""
+
+    h_hi: jnp.ndarray    # (B*P_rec,) flat per-position arrays
+    h_lo: jnp.ndarray
+    cv: jnp.ndarray
+    em: jnp.ndarray
+    ep: jnp.ndarray
+    eh_hi: jnp.ndarray
+    eh_lo: jnp.ndarray
+    sync: jnp.ndarray
+    last_i: jnp.ndarray      # (B,) i32 final valid LOCAL loop position
+    init_val: jnp.ndarray    # (B,) u32 window-0 election value|rev<<30
+    init_p: jnp.ndarray      # (B,) i32
+    init_h_hi: jnp.ndarray   # (B,) u32
+    init_h_lo: jnp.ndarray
+
+
+def scan_field_batched(packed, k: int, m: int, P_rec: int, lengths,
+                       cols: int = 512) -> BatchedFieldTables:
+    """Field scan of B records in ONE program: packed (B, P_rec//4)
+    2-bit slabs, lengths (B,) i32 cleaned lengths (< k => record is
+    inert). P_rec must be a multiple of cols and _B. The records share
+    the (R, C) layout back-to-back; each record's rows are
+    self-contained (its first row's sync lookback pads +inf, and
+    positions past its last_i are masked by the per-lane bounds in
+    resolve_field_batched).
+
+    Replicates the reference's per-sequence scan loop semantics
+    (SubSampler.cpp:306-510) for every record independently — the
+    many-short-record analog of scan_field_2d."""
+    B_n = packed.shape[0]
+    C = cols
+    W = k - m + 1
+    P = B_n * P_rec
+    R = P // C
+    rpr = P_rec // C              # rows per record
+    codes = unpack_2bit(packed.reshape(-1), P)
+    row_idx = jnp.arange(R)
+    first_row = (row_idx % rpr) == 0
+    h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh = _field_core(
+        codes, k, m, P, C, first_row)
+
+    last_i = (lengths - k - 1).astype(_I32)          # (B,)
+    jloc = ((row_idx % rpr)[:, None] * C
+            + jax.lax.broadcasted_iota(_I32, (R, C), 1))
+    li_row = last_i[row_idx // rpr]
+    sync = sync & (jloc <= li_row[:, None]) & (jloc >= 2 * W)
+
+    flat = lambda a: a.reshape(-1)
+    r0 = jnp.arange(B_n) * rpr
+    init_val = em[r0, 0] | (er[r0, 0].astype(_U32) << 30)
+    return BatchedFieldTables(
+        h_hi=flat(h0.hi), h_lo=flat(h0.lo), cv=flat(cv), em=flat(em_r),
+        ep=flat(ep_r), eh_hi=flat(eh_r.hi), eh_lo=flat(eh_r.lo),
+        sync=flat(sync), last_i=last_i, init_val=init_val,
+        init_p=ep[r0, 0], init_h_hi=eh.hi[r0, 0],
+        init_h_lo=eh.lo[r0, 0])
+
+
 class FieldState(NamedTuple):
     """Per-lane machine state (the reference loop's registers plus the
     previous-event bookkeeping the emits need)."""
@@ -199,14 +269,18 @@ def _transpose_tables(t: FieldTables, n_blk: int):
             tr(t.eh_hi), tr(t.eh_lo))
 
 
-def _sweep(tT, last_i, W: int, n_blk: int, state0: FieldState,
+def _sweep(tT, j0, lastiv, W: int, n_blk: int, state0: FieldState,
            start, end, active_lane, force_entry: bool, thr_hi, thr_lo):
     """Run the machine over columns [start, end) of every active lane.
 
     tT: transposed tables from _transpose_tables. start/end: (n_blk,)
-    i32 column bounds per lane. When force_entry, an adoption is forced
-    at column == start (the sync theorem's entry; its emit bookkeeping
-    is deferred — the returned is_ent mask marks it).
+    i32 column bounds per lane. j0/lastiv: (n_blk,) i32 — each lane's
+    absolute position base and final valid position (per-lane so a
+    BATCH of independent records can share one sweep: every lane
+    carries its own record's coordinate frame). When force_entry, an
+    adoption is forced at column == start (the sync theorem's entry;
+    its emit bookkeeping is deferred — the returned is_ent mask marks
+    it).
 
     Returns (exit_state, ev(B, n_blk), prev_val(B, n_blk),
     prev_last(B, n_blk), is_ent(B, n_blk)): per-event flag + the
@@ -218,13 +292,12 @@ def _sweep(tT, last_i, W: int, n_blk: int, state0: FieldState,
     exactly one ACTIVE sweep).
     """
     h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT = tT
-    lane_base = jnp.arange(n_blk, dtype=_I32) * _B
     rs = jnp.arange(_B, dtype=_I32)
 
     def step(st, xs):
         r, nh_hi, nh_lo, cv_c, em_c, ep_c, ehh_c, ehl_c = xs
-        j = lane_base + r
-        act = active_lane & (r >= start) & (r < end) & (j <= last_i)
+        j = j0 + r
+        act = active_lane & (r >= start) & (r < end) & (j <= lastiv)
         is_entry = act & (r == start) if force_entry else \
             jnp.zeros_like(act)
         lt = (nh_hi < st.h_hi) | ((nh_hi == st.h_hi)
@@ -266,7 +339,8 @@ def _pow2_ge(n: int) -> int:
     return p
 
 
-def _lists_from_dense(ev, pval, plast, isent, n_blk: int, capl: int):
+def _lists_from_dense(ev, pval, plast, isent, j0, n_blk: int,
+                      capl: int):
     """Per-lane compacted selected-event lists from dense (B, n_blk)
     sweep outputs — the XLA-backend path (the Mosaic kernel emits
     lists directly; materializing 16.7M-position dense event arrays
@@ -284,7 +358,7 @@ def _lists_from_dense(ev, pval, plast, isent, n_blk: int, capl: int):
     slot = jnp.cumsum(emit.astype(_I32), axis=0) - 1
     rows = jax.lax.broadcasted_iota(_I32, (_B, n_blk), 0)
     lanes = jax.lax.broadcasted_iota(_I32, (_B, n_blk), 1)
-    j = lanes * _B + rows
+    j = j0[None, :] + rows
     slot_c = jnp.where(emit, slot, capl)      # capl rows are dropped
     lp = jnp.zeros((capl, n_blk), _I32).at[slot_c, lanes].set(
         jnp.where(emit, j, 0), mode="drop")
@@ -342,19 +416,17 @@ def _sweep_kernel(li_ref, ca_ref, se_ref, st0_ref, hh_ref, hl_ref,
         start = se_ref[0, 0]
         end = se_ref[1, 0]
         active = se_ref[2, 0] != 0
+        lane_j0 = se_ref[3, 0]       # per-lane absolute position base
+        lastiv = se_ref[4, 0]        # per-lane final valid position
         # scalar bitcast is not a Mosaic op; i32->u32 convert is
         # modular in XLA, so astype preserves the bit pattern
-        thr_hi = li_ref[1].astype(_U32)
-        thr_lo = li_ref[2].astype(_U32)
-        last_i = li_ref[0]
-        lane = (jax.lax.broadcasted_iota(_I32, (8, sub), 0) * sub
-                + jax.lax.broadcasted_iota(_I32, (8, sub), 1))
-        lane_j0 = (lci * lc_sz + lane) * B
+        thr_hi = li_ref[0].astype(_U32)
+        thr_lo = li_ref[1].astype(_U32)
 
         for u in range(_CC):
             r = cc * _CC + u
             j = lane_j0 + r
-            act = active & (r >= start) & (r < end) & (j <= last_i)
+            act = active & (r >= start) & (r < end) & (j <= lastiv)
             nh_hi = hh_ref[u, 0]
             nh_lo = hl_ref[u, 0]
             lt = (nh_hi < h_hi) | ((nh_hi == h_hi) & (nh_lo < h_lo))
@@ -411,14 +483,15 @@ def _sweep_kernel(li_ref, ca_ref, se_ref, st0_ref, hh_ref, hl_ref,
         ll_ref[0] = lls[...]
 
 
-def _sweep_pallas(tT, last_i, W: int, n_blk: int, state0: FieldState,
-                  start, end, active_lane, force_entry: bool,
-                  thr_hi, thr_lo, capl: int = 16,
+def _sweep_pallas(tT, j0, lastiv, W: int, n_blk: int,
+                  state0: FieldState, start, end, active_lane,
+                  force_entry: bool, thr_hi, thr_lo, capl: int = 16,
                   interpret: bool | None = None):
     """Pallas sweep emitting per-lane compacted selected-event lists —
     same contract as _sweep + _lists_from_dense: returns
     (exit_state, cnt(n_blk,), pos(capl, n_blk), pval(capl, n_blk),
-    plast(capl, n_blk)).
+    plast(capl, n_blk)). j0/lastiv: per-lane position base and bound
+    (see _sweep).
 
     Lanes pad up to a _LANEMUL multiple with inactive lanes (they sit
     after the real ones, so predecessor chaining is unaffected);
@@ -444,13 +517,14 @@ def _sweep_pallas(tT, last_i, W: int, n_blk: int, state0: FieldState,
     n_lc = nb // lc
     n_cc = B // _CC
 
-    li = jnp.stack([last_i.astype(_I32),
-                    jax.lax.bitcast_convert_type(
+    li = jnp.stack([jax.lax.bitcast_convert_type(
                         jnp.asarray(thr_hi, _U32), _I32).reshape(()),
                     jax.lax.bitcast_convert_type(
                         jnp.asarray(thr_lo, _U32), _I32).reshape(())])
     se = jnp.stack([padl(start.astype(_I32)), padl(end.astype(_I32)),
-                    padl(active_lane.astype(_I32))])
+                    padl(active_lane.astype(_I32)),
+                    padl(j0.astype(_I32)),
+                    padl(lastiv.astype(_I32), -1)])
     st0 = jnp.stack([
         padl(state0.val), padl(state0.h_hi), padl(state0.h_lo),
         padl(jax.lax.bitcast_convert_type(state0.p, _U32)),
@@ -459,14 +533,13 @@ def _sweep_pallas(tT, last_i, W: int, n_blk: int, state0: FieldState,
 
     # per-(lane-chunk, col-chunk) activity: a chunk whose columns can
     # produce no event for any of its lanes skips all compute.  The
-    # j <= last_i bound uses the chunk's smallest column (j grows with
+    # j <= lastiv bound uses the chunk's smallest column (j grows with
     # r), so this is conservative (never skips a live chunk).
-    lane_j0v = jnp.arange(nb, dtype=_I32) * B
     ccs = jnp.arange(n_cc, dtype=_I32) * _CC
     la = (padl(active_lane)[:, None]
           & (se[0][:, None] < ccs[None, :] + _CC)
           & (se[1][:, None] > ccs[None, :])
-          & (lane_j0v[:, None] + ccs[None, :] <= last_i))
+          & (se[3][:, None] + ccs[None, :] <= se[4][:, None]))
     ca = jnp.any(la.reshape(n_lc, lc, n_cc), axis=1).astype(_I32)
 
     r4 = lambda a: a.reshape(a.shape[:-1] + (n_lc, 8, sub))
@@ -485,7 +558,7 @@ def _sweep_pallas(tT, last_i, W: int, n_blk: int, state0: FieldState,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # li scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ca chunk activity
-            lanes(3),                                # start/end/active
+            lanes(5),                           # start/end/active/j0/li
             lanes(6),                                # state0
             tab(), tab(), tab(), tab(), tab(), tab(), tab(),
         ],
@@ -518,8 +591,8 @@ def _sweep_pallas(tT, last_i, W: int, n_blk: int, state0: FieldState,
             unlane(ll, capl))
 
 
-def _run_sweep(tT, last_i, W, n_blk, state0, start, end, active_lane,
-               force_entry, thr_hi, thr_lo, capl):
+def _run_sweep(tT, j0, lastiv, W, n_blk, state0, start, end,
+               active_lane, force_entry, thr_hi, thr_lo, capl):
     """Backend dispatch: Mosaic kernel on TPU (native column loop +
     in-kernel list emission), the XLA lax.scan + dense-to-list
     conversion elsewhere (this platform's XLA while-loop iterations
@@ -527,13 +600,13 @@ def _run_sweep(tT, last_i, W, n_blk, state0, start, end, active_lane,
 
     Returns (exit_state, cnt, pos_list, pval_list, plast_list)."""
     if jax.default_backend() == "tpu":
-        return _sweep_pallas(tT, last_i, W, n_blk, state0, start, end,
-                             active_lane, force_entry, thr_hi, thr_lo,
-                             capl)
-    st, ev, pval, plast, isent = _sweep(tT, last_i, W, n_blk, state0,
-                                        start, end, active_lane,
+        return _sweep_pallas(tT, j0, lastiv, W, n_blk, state0, start,
+                             end, active_lane, force_entry, thr_hi,
+                             thr_lo, capl)
+    st, ev, pval, plast, isent = _sweep(tT, j0, lastiv, W, n_blk,
+                                        state0, start, end, active_lane,
                                         force_entry, thr_hi, thr_lo)
-    return (st,) + _lists_from_dense(ev, pval, plast, isent, n_blk,
+    return (st,) + _lists_from_dense(ev, pval, plast, isent, j0, n_blk,
                                      capl)
 
 
@@ -596,10 +669,13 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
     capl = min(128, max(16, _pow2_ge(
         -((-8 * sel_cap) // max(n_real, 1)))))
 
+    lastiv = jnp.broadcast_to(t.last_i, (n_blk,)).astype(_I32)
+
     # ---- sweep 1: suffixes from each block's first sync ----
     st1, c_suf, suf_p, suf_v, suf_l = _run_sweep(
-        tT, t.last_i, W, n_blk, zst, fs, jnp.full((n_blk,), B, _I32),
-        has_sync, True, thr_hi, thr_lo, capl)
+        tT, lane_base, lastiv, W, n_blk, zst, fs,
+        jnp.full((n_blk,), B, _I32), has_sync, True, thr_hi, thr_lo,
+        capl)
 
     exit_val = st1.val
     exit_hh = st1.h_hi
@@ -641,8 +717,9 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
             last_ev=pred(exit_le, ent_le),
             n_ev=jnp.zeros((n_blk,), _I32))
         st2, c2, p2, v2, l2 = _run_sweep(
-            tT, t.last_i, W, n_blk, st0, jnp.zeros((n_blk,), _I32), fs,
-            can, False, thr_hi, thr_lo, capl)
+            tT, lane_base, lastiv, W, n_blk, st0,
+            jnp.zeros((n_blk,), _I32), fs, can, False, thr_hi, thr_lo,
+            capl)
         canw = can[None, :]
         pre_p = jnp.where(canw, p2, pre_p)
         pre_v = jnp.where(canw, v2, pre_v)
@@ -739,6 +816,249 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
 
 
 _HEAD = 12
+_BHEAD = 8
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def resolve_field_batched(t: BatchedFieldTables, k: int, m: int,
+                          sel_cap: int, P_rec: int, thr_hi, thr_lo):
+    """Resolve the event chains of a whole record batch in one program.
+
+    Every record is independent: lanes carry per-record local position
+    frames (the generalized sweeps take per-lane j0/last_i), and the
+    predecessor chaining of sweep 2 resets at record-head lanes to that
+    record's window-0 entry election (reference SubSampler.cpp:359-365)
+    instead of the previous lane's exit.
+
+    Returns one int32 fetch array:
+      [global_status, n_sel_total,
+       B x _BHEAD per-record heads: (status, n_sel, n_ev, last_ev_pos,
+                                     tail_val, tail_rev, tail_sel, 0),
+       pos[sel_cap], last[sel_cap], val[sel_cap], rev[sel_cap]]
+    where the sel lists are record-major (record b's events occupy the
+    contiguous rank range given by the heads' n_sel prefix sums) and
+    positions are LOCAL to each record. n_sel_total > sel_cap means
+    truncated lists (caller re-dispatches with a bigger cap);
+    status != 0 means unresolved/overflowed lanes in that record
+    (caller falls back to the exact walker path for it)."""
+    W = k - m + 1
+    B = _B
+    P = t.h_hi.shape[0]
+    B_n = t.last_i.shape[0]
+    lpr = P_rec // B             # lanes per record
+    n_real = P // B
+    lc = min(_LC, n_real)
+    n_blk = -(-n_real // lc) * lc
+    lanes = jnp.arange(n_blk, dtype=_I32)
+    real = lanes < n_real
+    lane_rec = jnp.clip(lanes // lpr, 0, B_n - 1)
+    lane_base = (lanes % lpr) * B            # record-local
+    lastiv = jnp.where(real, t.last_i[lane_rec], -1)
+    is_head = (lanes % lpr == 0) & real
+
+    sync2 = t.sync.reshape(n_real, B)
+    if n_blk != n_real:
+        sync2 = jnp.concatenate(
+            [sync2, jnp.zeros((n_blk - n_real, B), bool)])
+    has_sync = jnp.any(sync2, axis=1)
+    fs = jnp.argmax(sync2, axis=1).astype(_I32)
+    fs = jnp.where(has_sync, fs, B)
+    live = (lane_base <= lastiv) & real
+
+    thr_hi = jnp.asarray(thr_hi, _U32).reshape(())
+    thr_lo = jnp.asarray(thr_lo, _U32).reshape(())
+    zst = FieldState(
+        val=jnp.zeros((n_blk,), _U32),
+        h_hi=jnp.full((n_blk,), 0xFFFFFFFF, _U32),
+        h_lo=jnp.full((n_blk,), 0xFFFFFFFF, _U32),
+        p=jnp.zeros((n_blk,), _I32),
+        last_ev=jnp.full((n_blk,), -1, _I32),
+        n_ev=jnp.zeros((n_blk,), _I32))
+    tT = _transpose_tables(t, n_real)
+    if n_blk != n_real:
+        tT = tuple(jnp.concatenate(
+            [a, jnp.zeros((B, n_blk - n_real), a.dtype)], axis=1)
+            for a in tT)
+
+    capl = min(128, max(16, _pow2_ge(
+        -((-8 * sel_cap) // max(n_real, 1)))))
+
+    # ---- sweep 1: suffixes from each block's first sync ----
+    st1, c_suf, suf_p, suf_v, suf_l = _run_sweep(
+        tT, lane_base, lastiv, W, n_blk, zst, fs,
+        jnp.full((n_blk,), B, _I32), has_sync, True, thr_hi, thr_lo,
+        capl)
+
+    exit_val = st1.val
+    exit_hh = st1.h_hi
+    exit_hl = st1.h_lo
+    exit_p = st1.p
+    exit_le = st1.last_ev
+    suffix_ev = st1.n_ev
+    exit_known = has_sync | ~live
+
+    # ---- per-record entry elections (window 0, incl. sel bit) ----
+    sel_e = ((t.init_h_hi < thr_hi)
+             | ((t.init_h_hi == thr_hi) & (t.init_h_lo <= thr_lo)))
+    ent_val_r = t.init_val | (sel_e.astype(_U32) << 31)   # (B_n,)
+    ev_val = ent_val_r[lane_rec]
+    ev_hh = t.init_h_hi[lane_rec]
+    ev_hl = t.init_h_lo[lane_rec]
+    ev_p = t.init_p[lane_rec]
+    ev_le = jnp.full((n_blk,), -1, _I32)
+
+    def pred(a, headv):
+        sh = jnp.concatenate([a[:1], a[:-1]])
+        return jnp.where(is_head, headv, sh)
+
+    # ---- sweep 2 (iterated): prefixes from the predecessor's exit,
+    # record-head lanes from their record's entry ----
+    prefix_done = ~live
+    prefix_ev = jnp.zeros((n_blk,), _I32)
+    pre_val = jnp.zeros((n_blk,), _U32)
+    pre_le = jnp.full((n_blk,), -1, _I32)
+    c_pre = jnp.zeros((n_blk,), _I32)
+    pre_p = jnp.zeros((capl, n_blk), _I32)
+    pre_v = jnp.zeros((capl, n_blk), _U32)
+    pre_l = jnp.zeros((capl, n_blk), _I32)
+    true_head = jnp.ones((n_blk,), bool)
+    for _ in range(_MAX_PASSES):
+        pred_known = pred(exit_known, true_head)
+        can = ~prefix_done & pred_known
+        st0 = FieldState(
+            val=pred(exit_val, ev_val),
+            h_hi=pred(exit_hh, ev_hh),
+            h_lo=pred(exit_hl, ev_hl),
+            p=pred(exit_p, ev_p),
+            last_ev=pred(exit_le, ev_le),
+            n_ev=jnp.zeros((n_blk,), _I32))
+        st2, c2, p2, v2, l2 = _run_sweep(
+            tT, lane_base, lastiv, W, n_blk, st0,
+            jnp.zeros((n_blk,), _I32), fs, can, False, thr_hi, thr_lo,
+            capl)
+        canw = can[None, :]
+        pre_p = jnp.where(canw, p2, pre_p)
+        pre_v = jnp.where(canw, v2, pre_v)
+        pre_l = jnp.where(canw, l2, pre_l)
+        c_pre = jnp.where(can, c2, c_pre)
+        prefix_ev = jnp.where(can, st2.n_ev, prefix_ev)
+        pre_val = jnp.where(can, st2.val, pre_val)
+        pre_le = jnp.where(can, st2.last_ev, pre_le)
+        newly_exit = can & ~has_sync
+        exit_val = jnp.where(newly_exit, st2.val, exit_val)
+        exit_hh = jnp.where(newly_exit, st2.h_hi, exit_hh)
+        exit_hl = jnp.where(newly_exit, st2.h_lo, exit_hl)
+        exit_p = jnp.where(newly_exit, st2.p, exit_p)
+        exit_le = jnp.where(newly_exit, st2.last_ev, exit_le)
+        exit_known = exit_known | newly_exit
+        prefix_done = prefix_done | can
+
+    bad_lane = ((~prefix_done) | (c_suf > capl)
+                | (c_pre > capl)).astype(_I32)
+    status_rec = jax.ops.segment_sum(bad_lane, lane_rec,
+                                     num_segments=B_n)
+
+    # ---- deferred entry emits (sync events closing their own
+    # prefix's payload) ----
+    e_sel = has_sync & ((pre_val >> 31) == 1)
+    e_pos = lane_base + fs
+    e_val = pre_val
+    e_last = pre_le + 1
+
+    counts = c_pre + e_sel.astype(_I32) + c_suf
+    n_sel = jnp.sum(counts).astype(_I32)
+    n_sel_rec = jax.ops.segment_sum(counts, lane_rec,
+                                    num_segments=B_n)
+    n_ev_rec = jax.ops.segment_sum(suffix_ev + prefix_ev, lane_rec,
+                                   num_segments=B_n)
+
+    # ---- selected-boundary extraction (record-major global ranks) ----
+    offs = jnp.cumsum(counts)
+    iidx = jnp.arange(sel_cap, dtype=_I32)
+    lane_i = jnp.searchsorted(offs, iidx, side="right")
+    lane_c = jnp.clip(lane_i, 0, n_blk - 1).astype(_I32)
+    base = offs[lane_c] - counts[lane_c]
+    r_in = iidx - base
+    cp = c_pre[lane_c]
+    es = e_sel[lane_c]
+    in_pre = r_in < cp
+    is_ent = (r_in == cp) & es
+    suf_slot = r_in - cp - es.astype(_I32)
+    pre_idx = jnp.clip(r_in, 0, capl - 1) * n_blk + lane_c
+    suf_idx = jnp.clip(suf_slot, 0, capl - 1) * n_blk + lane_c
+
+    def pick(pre_a, e_a, suf_a):
+        return jnp.where(
+            in_pre, pre_a.reshape(-1)[pre_idx],
+            jnp.where(is_ent, e_a[lane_c], suf_a.reshape(-1)[suf_idx]))
+
+    ok = iidx < n_sel
+    pos = jnp.where(ok, pick(pre_p, e_pos, suf_p), -1)
+    last = jnp.where(ok, pick(pre_l, e_last, suf_l), -1)
+    valw = jnp.where(ok, pick(pre_v, e_val, suf_v), 0)
+    val = valw & ((1 << 30) - 1)
+    rev = (valw >> 30) & 1
+
+    # ---- per-record tails: the LAST LIVE lane's exit ----
+    lane_q = (jnp.arange(B_n, dtype=_I32) * lpr
+              + jnp.clip(t.last_i // B, 0, lpr - 1))
+    no_live = t.last_i < 0
+    x_val = jnp.where(no_live, ent_val_r, exit_val[lane_q])
+    x_le = jnp.where(no_live, jnp.int32(-1), exit_le[lane_q])
+    tail_val = x_val & ((1 << 30) - 1)
+    tail_rev = (x_val >> 30) & 1
+    tail_sel = (x_val >> 31) & 1
+
+    heads = jnp.stack([
+        status_rec.astype(_I32), n_sel_rec.astype(_I32),
+        n_ev_rec.astype(_I32), x_le,
+        jax.lax.bitcast_convert_type(tail_val, _I32),
+        tail_rev.astype(_I32), tail_sel.astype(_I32),
+        jnp.zeros((B_n,), _I32)], axis=1)          # (B_n, _BHEAD)
+    g = jnp.stack([jnp.sum(status_rec).astype(_I32), n_sel])
+    return jnp.concatenate([
+        g, heads.reshape(-1), pos, last,
+        jax.lax.bitcast_convert_type(val, _I32), rev.astype(_I32)])
+
+
+def parse_batched_array(arr: np.ndarray, cap: int, B_n: int):
+    """Host-side split of resolve_field_batched's fetch array into
+    (global_status, n_sel_total, per-record compact 9-tuples,
+    per-record n_sel). Truncation (n_sel_total > cap) returns comps
+    None — caller must re-dispatch with a bigger cap."""
+    gstatus = int(arr[0])
+    n_total = int(arr[1])
+    if n_total > cap:
+        return gstatus, n_total, None, None
+    heads = arr[2 : 2 + _BHEAD * B_n].reshape(B_n, _BHEAD)
+    body = arr[2 + _BHEAD * B_n:]
+    pos = body[:cap]
+    last = body[cap : 2 * cap]
+    val = body[2 * cap : 3 * cap].view(np.uint32)
+    rev = body[3 * cap : 4 * cap]
+    n_sel_rec = heads[:, 1].astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(n_sel_rec)])
+    comps = []
+    for b in range(B_n):
+        s, e = int(offs[b]), int(offs[b + 1])
+        comps.append((
+            pos[s:e].astype(np.int64), last[s:e].astype(np.int64),
+            val[s:e], rev[s:e] != 0, int(heads[b, 2]),
+            int(heads[b, 3]), int(np.int64(heads[b, 4]) & 0xFFFFFFFF),
+            bool(heads[b, 5]), bool(heads[b, 6])))
+    return gstatus, n_total, comps, heads[:, 0].astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def scan_resolve_batch(packed, k: int, m: int, P_rec: int,
+                       sel_cap: int, lengths, thr_hi, thr_lo):
+    """Fused batch dispatch: scan + resolve of a (B, P_rec//4) packed
+    record batch as ONE program — one RPC and one D2H round-trip for
+    the whole batch (the many-short-record path; reference streams any
+    record shape through one loop, SubSampler.cpp:334-347)."""
+    t = scan_field_batched(packed, k, m, P_rec, lengths)
+    return resolve_field_batched(t, k, m, sel_cap, P_rec, thr_hi,
+                                 thr_lo)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))

@@ -440,6 +440,14 @@ class TpuSubsampler(OracleSubsampler):
 
     _sel_cap_guess = 4096
     _kmer_cap_guess = 8192
+    # short-record batching (sketch_file): records whose padded bucket
+    # is <= _SHORT_MAX positions resolve in per-bucket batches of up
+    # to _SHORT_BATCH_MAX records via ONE fused device program + ONE
+    # fetch; _batch_sel_rate is the adaptive selected-events-per-
+    # position estimate that sizes each batch's capacity.
+    _SHORT_MAX = 1 << 16
+    _SHORT_BATCH_MAX = 4096
+    _batch_sel_rate = 0.002
     # tile geometry (class-level so tests can shrink it to exercise the
     # multi-tile carry path on small inputs)
     _tile_own = _TILE_OWN
@@ -608,18 +616,30 @@ class TpuSubsampler(OracleSubsampler):
         return own, max(1, -(-(n_raw - k) // own))
 
     def sketch_file(self, input_path: str):
-        """Four-stage record pipeline over one FASTA file:
+        """Chunked, batched record pipeline over one FASTA file.
 
-          main: read file once, iterate raw record spans (zero-copy);
-          prep pool (2 workers): C single-pass clean + 2-bit pack into
-            the device slab (csrc/spsp_io.c spsp_clean_pack; ctypes
-            releases the GIL so preps genuinely overlap);
-          launcher (1 worker): H2D + fused scan dispatch in record
-            order (keeps the in-order device queue deterministic);
-          fetcher (1 worker): drains each record's compact array;
-          main: in-order assembly into the C finisher (bucket
-            first-insertion order must follow record order for
-            byte-exact serialization, reference SubSampler.h:62).
+        Stages: main reads the file once and groups raw record spans
+        into chunks; a 2-worker prep pool runs the C single-pass clean
+        + 2-bit pack per chunk (csrc/spsp_io.c spsp_clean_pack; ctypes
+        releases the GIL); one launcher thread routes records by size
+        and dispatches device work in record order; main assembles in
+        record order into the C finisher (bucket first-insertion order
+        must follow record order for byte-exact serialization,
+        reference SubSampler.h:62).
+
+        Device-dispatch shapes are driven by one platform fact: every
+        D2H transfer blocks the in-order device stream for a full link
+        round-trip (~33 ms measured r4), so fetches are BATCHED:
+
+          * short records (single tile <= _SHORT_MAX positions) pack
+            into per-bucket (B, P_rec/4) slabs resolved by ONE fused
+            scan_resolve_batch program with ONE fetch for the whole
+            batch — the many-short-record path (reference streams any
+            record shape through one loop, SubSampler.cpp:334-347);
+          * medium records (one tile each) dispatch individually but
+            their compact arrays are STACKED on device and fetched
+            with one transfer per _FETCH_BATCH records;
+          * long records (> 4 Mbp) stream through FieldChain tiles.
 
         Requires the native library; environments without a toolchain
         take _sketch_file_compat (the r3 path) instead."""
@@ -631,9 +651,15 @@ class TpuSubsampler(OracleSubsampler):
         from supersampler_tpu.core.scalar import MASK64
         from supersampler_tpu.io.fasta import clean_dna, read_fasta_spans
         from supersampler_tpu.native import clean_pack_native
+        from supersampler_tpu.ops.field import (field_entry_init,
+                                                parse_batched_array,
+                                                parse_field_array,
+                                                resolve_field,
+                                                scan_resolve_batch,
+                                                scan_resolve_single)
         from supersampler_tpu.utils.profiling import device_trace, phase
 
-        k = self.k
+        k, m = self.k, self.m
         if not os.path.exists(input_path):
             log = self.log or sys.stdout
             print("Problem with file opening", file=log)
@@ -645,36 +671,44 @@ class TpuSubsampler(OracleSubsampler):
             return self._sketch_file_compat(input_path)
 
         thr = self.threshold
-        extra = self._tile_extra
-
-        def prep(span):
-            with phase("prep"):
-                s, e = span
-                n_raw = e - s
-                plan = self._plan_geometry(n_raw)
-                if plan is None:
-                    return ("legacy", clean_dna(data[s:e]))
-                own, n_tiles = plan
-                raw = np.frombuffer(data, np.uint8, n_raw, s)
-                ref, slab, L = clean_pack_native(
-                    raw, n_tiles * own + extra, 128)
-                if L < k:
-                    return None
-                if n_tiles > 1:
-                    n2 = max(1, -(-(L - k) // own))
-                    if n2 < n_tiles:
-                        slab = slab[: (128 + n2 * own + extra) >> 2]
-                        n_tiles = n2
-                return ("field", ref, slab, L, own, n_tiles)
-
-        m = self.m
         thr_w = (jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF))
+        extra = self._tile_extra
         select_all = self.s <= 1
         on_tpu = jax.default_backend() == "tpu"
-        from supersampler_tpu.ops.field import (field_entry_init,
-                                                parse_field_array,
-                                                resolve_field,
-                                                scan_resolve_single)
+        margin = 2 * (2 * k - m + 2) + 128
+
+        # ---- prep: one C pass per record, chunked to amortize task
+        # overhead over thousands of tiny records ----
+        def prep_chunk(spans_chunk):
+            with phase("prep"):
+                out = []
+                for s, e in spans_chunk:
+                    n_raw = e - s
+                    if n_raw + margin <= self._SHORT_MAX:
+                        own = max(1024, padded_size(n_raw, margin))
+                        raw = np.frombuffer(data, np.uint8, n_raw, s)
+                        ref, row, L = clean_pack_native(raw, own, 0)
+                        out.append(None if L < k
+                                   else ("short", ref, row, L, own))
+                        continue
+                    plan = self._plan_geometry(n_raw)
+                    if plan is None:
+                        out.append(("legacy", clean_dna(data[s:e])))
+                        continue
+                    own, n_tiles = plan
+                    raw = np.frombuffer(data, np.uint8, n_raw, s)
+                    ref, slab, L = clean_pack_native(
+                        raw, n_tiles * own + extra, 128)
+                    if L < k:
+                        out.append(None)
+                        continue
+                    if n_tiles > 1:
+                        n2 = max(1, -(-(L - k) // own))
+                        if n2 < n_tiles:
+                            slab = slab[: (128 + n2 * own + extra) >> 2]
+                            n_tiles = n2
+                    out.append(("field", ref, slab, L, own, n_tiles))
+                return out
 
         def dispatch_single(slab, L, own, cap):
             """One single-tile record's compact array: fused program on
@@ -690,16 +724,12 @@ class TpuSubsampler(OracleSubsampler):
             entry = field_entry_init(ft, *thr_w)
             return resolve_field(ft, k, m, cap, entry, *thr_w)
 
-        # --- launcher-thread state: the current fetch batch ----------
-        # Every D2H blocks the in-order device stream for a full link
-        # round-trip (~33 ms measured r4), so per-record fetches would
-        # serialize the stream; stacking up to _FETCH_BATCH compact
-        # arrays into one device concatenation costs one ~us stack
-        # dispatch and ONE round-trip for the whole group.
+        # ---- launcher-thread state ----
         _FETCH_BATCH = 8
         _FETCH_BYTES = 64 << 20
-        batch = []            # [(record dict, device arr), ...]
+        batch = []            # medium records: [(rec, device arr), ...]
         batch_bytes = 0
+        sbatches = {}         # short records: own -> [(rec, row, L)]
 
         def timed_get(stacked):
             with phase("device+fetch"):
@@ -721,46 +751,125 @@ class TpuSubsampler(OracleSubsampler):
                 rec["fut"] = fut
                 rec["slot"] = i if len(arrs) > 1 else None
 
-        def launch(pfut, rec):
-            nonlocal batch_bytes
-            p = pfut.result()
-            if p is None:
-                rec["skip"] = True
+        def _short_cap(positions: int) -> int:
+            if select_all:
+                return _pow2_ge(positions)
+            guess = int(self._batch_sel_rate * positions * 2)
+            return _pow2_ge(max(4096, guess))
+
+        def flush_short(own):
+            items = sbatches.pop(own, None)
+            if not items:
                 return
+            B_n = _pow2_ge(max(len(items), 8))
+            packed = np.zeros((B_n, own >> 2), np.uint8)
+            lengths = np.zeros(B_n, np.int32)
+            for b, (rec, row, L) in enumerate(items):
+                packed[b] = row
+                lengths[b] = L
+            cap = _short_cap(B_n * own)
+            arr = scan_resolve_batch(
+                jnp.asarray(packed), k, m, own, cap,
+                jnp.asarray(lengths), *thr_w)
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+            ctx = {"fut": fetcher.submit(timed_get, arr), "own": own,
+                   "cap": cap, "B": B_n, "packed": packed,
+                   "lengths": lengths}
+            for b, (rec, _row, _L) in enumerate(items):
+                rec["sctx"] = ctx
+                rec["bslot"] = b
+
+        def flush_all():
+            flush_batch()
+            for own in list(sbatches):
+                flush_short(own)
+
+        def launch_chunk(pfut, recs):
+            nonlocal batch_bytes
+            plist = pfut.result()
             with phase("launch_scan"):
-                if p[0] == "legacy":
-                    ref = p[1]
-                    if len(ref) < k:
+                for p, rec in zip(plist, recs):
+                    if p is None:
                         rec["skip"] = True
-                        return
-                    self.read_kmer += len(ref) - k + 1
+                        continue
+                    if p[0] == "legacy":
+                        ref = p[1]
+                        if len(ref) < k:
+                            rec["skip"] = True
+                            continue
+                        self.read_kmer += len(ref) - k + 1
+                        rec["ref"] = ref
+                        rec["dc"] = self._launch_scan(ref)
+                        continue
+                    if p[0] == "short":
+                        _, ref, row, L, own = p
+                        self.read_kmer += L - k + 1
+                        rec["ref"] = ref
+                        sbatches.setdefault(own, []).append(
+                            (rec, row, L))
+                        blist = sbatches[own]
+                        if (len(blist) >= self._SHORT_BATCH_MAX
+                                or len(blist) * own >= (1 << 22)):
+                            flush_short(own)
+                        continue
+                    _, ref, slab, L, own, n_tiles = p
+                    self.read_kmer += L - k + 1
                     rec["ref"] = ref
-                    rec["dc"] = self._launch_scan(ref)
-                    return
-                _, ref, slab, L, own, n_tiles = p
-                self.read_kmer += L - k + 1
-                rec["ref"] = ref
-                if n_tiles > 1:
-                    sel_guess = (own if select_all
-                                 else self._sel_cap_guess)
-                    rec["dc"] = FieldChain(
-                        slab, n_tiles, k, m, L, thr, own, extra,
-                        sel_cap_guess=sel_guess,
-                        kmer_cap_guess=self._kmer_cap_guess,
-                        select_all=select_all, dedup=False)
-                    return
-                cap = _pow2_ge(own if select_all
-                               else self._sel_cap_guess)
-                arr = dispatch_single(slab, L, own, cap)
-                rec.update(slab=slab, L=L, own=own, cap=cap)
-                batch.append((rec, arr))
-                batch_bytes += arr.size * 4
-                if (len(batch) >= _FETCH_BATCH
-                        or batch_bytes >= _FETCH_BYTES):
-                    flush_batch()
+                    if n_tiles > 1:
+                        sel_guess = (own if select_all
+                                     else self._sel_cap_guess)
+                        rec["dc"] = FieldChain(
+                            slab, n_tiles, k, m, L, thr, own, extra,
+                            sel_cap_guess=sel_guess,
+                            kmer_cap_guess=self._kmer_cap_guess,
+                            select_all=select_all, dedup=False)
+                        continue
+                    cap = _pow2_ge(own if select_all
+                                   else self._sel_cap_guess)
+                    arr = dispatch_single(slab, L, own, cap)
+                    rec.update(slab=slab, L=L, own=own, cap=cap)
+                    batch.append((rec, arr))
+                    batch_bytes += arr.size * 4
+                    if (len(batch) >= _FETCH_BATCH
+                            or batch_bytes >= _FETCH_BYTES):
+                        flush_batch()
+
+        def finish_short(rec):
+            """Assemble one short record from its batch's shared fetch;
+            the first record of the batch parses (and, on a capacity
+            miss, re-dispatches) for the whole group."""
+            ctx = rec["sctx"]
+            if "comps" not in ctx:
+                a = ctx["fut"].result()
+                cap = ctx["cap"]
+                g, n_total, comps, st_rec = parse_batched_array(
+                    a, cap, ctx["B"])
+                while comps is None:          # truncated: re-dispatch
+                    cap = _pow2_ge(n_total)
+                    arr = scan_resolve_batch(
+                        jnp.asarray(ctx["packed"]), k, m, ctx["own"],
+                        cap, jnp.asarray(ctx["lengths"]), *thr_w)
+                    a = jax.device_get(arr)
+                    g, n_total, comps, st_rec = parse_batched_array(
+                        a, cap, ctx["B"])
+                ctx["comps"], ctx["st"] = comps, st_rec
+                positions = ctx["B"] * ctx["own"]
+                if not select_all:
+                    self._batch_sel_rate = max(
+                        n_total / positions, 1e-6)
+            b = rec["bslot"]
+            if int(ctx["st"][b]) != 0:
+                # pathological record: exact walker path, standalone
+                dc = self._launch_scan(bytes(rec["ref"]))
+                self._assemble_from(rec["ref"], self._fetch(dc))
+                return
+            self._assemble_compact(rec["ref"], *ctx["comps"][b])
 
         def finish_single(rec):
-            """Parse one batched record's host row; re-dispatch on a
+            """Parse one medium record's host row; re-dispatch on a
             capacity overflow, fall back to the exact walker path on a
             resolution failure (status != 0)."""
             host = rec["fut"].result()
@@ -786,23 +895,27 @@ class TpuSubsampler(OracleSubsampler):
                 self._sel_cap_guess = max(4096, 2 * n_sel)
             self._assemble_compact(rec["ref"], *comp)
 
-        def drain(rec):
-            rec["lfut"].result()
-            if rec.get("skip"):
-                return
-            with phase("assemble"):
-                if "dc" in rec:
-                    self._assemble_from(rec["ref"],
-                                        self._fetch(rec["dc"]))
-                    return
-                if "fut" not in rec:
-                    # this record's batch hasn't flushed yet (tail or
-                    # legacy-interleaved records): flush on the
-                    # launcher thread (it owns the batch state)
-                    launcher.submit(flush_batch).result()
-                finish_single(rec)
+        def drain_chunk(recs):
+            recs[0]["lfut"].result()
+            for rec in recs:
+                if rec.get("skip"):
+                    continue
+                with phase("assemble"):
+                    if "dc" in rec:
+                        self._assemble_from(rec["ref"],
+                                            self._fetch(rec["dc"]))
+                        continue
+                    if "fut" not in rec and "sctx" not in rec:
+                        # its batch hasn't flushed yet (tail records):
+                        # flush on the launcher thread (it owns the
+                        # batch state)
+                        launcher.submit(flush_all).result()
+                    if "sctx" in rec:
+                        finish_short(rec)
+                    else:
+                        finish_single(rec)
 
-        window = 16
+        window = 4              # span chunks in flight
         pending = collections.deque()
         with device_trace("sketch_file"), \
                 concurrent.futures.ThreadPoolExecutor(2) as preppers, \
@@ -810,16 +923,29 @@ class TpuSubsampler(OracleSubsampler):
                 concurrent.futures.ThreadPoolExecutor(1) as launcher:
             with phase("parse"):
                 data, spans = read_fasta_spans(input_path)
+            # group spans into chunks of bounded raw bytes / count
+            chunks = []
+            cur, cur_bytes = [], 0
             for span in spans:
+                cur.append(span)
+                cur_bytes += span[1] - span[0]
+                if cur_bytes >= (4 << 20) or len(cur) >= 1024:
+                    chunks.append(cur)
+                    cur, cur_bytes = [], 0
+            if cur:
+                chunks.append(cur)
+            for chunk in chunks:
                 if len(pending) >= window:
-                    drain(pending.popleft())
-                rec = {}
-                pf = preppers.submit(prep, span)
-                rec["lfut"] = launcher.submit(launch, pf, rec)
-                pending.append(rec)
-            launcher.submit(flush_batch)
+                    drain_chunk(pending.popleft())
+                recs = [{} for _ in chunk]
+                pf = preppers.submit(prep_chunk, chunk)
+                lf = launcher.submit(launch_chunk, pf, recs)
+                for rec in recs:
+                    rec["lfut"] = lf
+                pending.append(recs)
+            launcher.submit(flush_all)
             while pending:
-                drain(pending.popleft())
+                drain_chunk(pending.popleft())
         self.nb_mmer_selected = (self.nb_mmer_selected
                                  - (self.m - 1)) & MASK64
         with phase("serialize"):
