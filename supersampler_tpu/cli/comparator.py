@@ -45,12 +45,19 @@ def pick_engine() -> str:
 
 
 def parse_args(argv):
-    opts = {"f": "", "q": "", "p": 6, "m": 0.0, "o": "results"}
+    opts = {"f": "", "q": "", "p": 6, "m": 0.0, "o": "results",
+            "chunk_bytes": None, "resume": None}
     i = 0
     while i < len(argv):
         a = argv[i]
         if a.startswith("-") and len(a) == 2 and a[1] in "fqpmo":
             opts[a[1]] = argv[i + 1]
+            i += 2
+        elif a == "--chunk-bytes":      # framework extension: bounded-
+            opts["chunk_bytes"] = int(argv[i + 1])   # memory streaming
+            i += 2
+        elif a == "--resume":           # framework extension: shard-
+            opts["resume"] = argv[i + 1]             # resumable manifest
             i += 2
         else:
             i += 1
@@ -65,6 +72,19 @@ def main(argv=None) -> int:
         print(USAGE, end="")
         return 0
     engine = pick_engine()
+
+    def run_compare(comp, query_size):
+        """Dispatch to the in-RAM or the chunked/resumable engine
+        (--chunk-bytes / --resume are framework extensions beyond the
+        reference flag set; outputs are identical either way)."""
+        if o["chunk_bytes"] is not None or o["resume"] is not None:
+            comp.compare_sketches_chunked(
+                query_size,
+                chunk_bytes=o["chunk_bytes"] or (64 << 20),
+                resume_path=o["resume"])
+        else:
+            comp.compare_sketches(query_size)
+
     if not o["q"]:
         print("No query file, I will perform a all versus all comparison")
         comp = TpuComparator(precision=o["p"], min_threshold=o["m"],
@@ -72,7 +92,7 @@ def main(argv=None) -> int:
         comp.files_names = TpuComparator.getfilesname(o["f"])
         print(f"I found {len(comp.files_names)} documents")
         start = time.time()
-        comp.compare_sketches(len(comp.files_names))
+        run_compare(comp, len(comp.files_names))
         print(f"kmers evaluated are of length: {comp.k} "
               f"minimizer size is {comp.m}")
         print("Comparisons done")
@@ -89,7 +109,7 @@ def main(argv=None) -> int:
         query_size = len(comp.files_names)
         print(f"I query {query_size} file(s) against the bank")
         comp.files_names += TpuComparator.getfilesname(o["f"])
-        comp.compare_sketches(query_size)
+        run_compare(comp, query_size)
         print("Containement index dump ")
         print("Jackard index dump")
         comp.write_outputs(o["o"])

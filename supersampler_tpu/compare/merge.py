@@ -99,6 +99,108 @@ class TpuComparator:
         self._score_pairs(mins, his, los, fids, query_size,
                           query_minimizers)
 
+    def compare_sketches_chunked(self, query_size: int,
+                                 chunk_bytes: int = 64 << 20,
+                                 resume_path: Optional[str] = None,
+                                 max_chunks: Optional[int] = None
+                                 ) -> bool:
+        """Bounded-memory comparison: stream the N-way bucket merge in
+        minimizer-range chunks of ~chunk_bytes payload, scoring each
+        chunk as it decodes (reference Comparator.cpp:39-74 holds only
+        open buckets; this holds only one chunk). Produces identical
+        score_A / nb_kmer_seen_infile to compare_sketches — every
+        minimizer's buckets land in exactly one chunk, so per-chunk
+        grouping and dedup equal global.
+
+        resume_path: shard-resumable comparison (SURVEY §5) — after
+        every chunk the per-file byte offsets + partial scores persist
+        atomically; a restart skips completed chunks by seeking. The
+        manifest is deleted on completion. max_chunks stops early
+        (testing / cooperative preemption), leaving the manifest.
+
+        Returns True when the comparison completed."""
+        import json
+        import os
+
+        from supersampler_tpu.compare.stream import (BucketStream,
+                                                     chunk_rounds,
+                                                     decode_bucket_pairs)
+
+        opened: List[str] = []
+        for path in self.files_names:
+            try:
+                with open(path, "rb"):
+                    pass
+            except OSError:
+                print("Problem with file opening")
+                continue
+            opened.append(path)
+        n = len(opened)
+        self.query_size = query_size
+        self.nb_files = n
+        if n == 0:
+            return True
+        streams = [BucketStream(p) for p in opened]
+        self.k, self.m = streams[-1].k, streams[-1].m
+        self.nb_kmer_seen_infile = [0] * n
+        start_chunk = 0
+        if resume_path and os.path.exists(resume_path):
+            with open(resume_path) as f:
+                man = json.load(f)
+            if man.get("files") != opened:
+                raise ValueError(
+                    "resume manifest does not match the file list")
+            start_chunk = man["chunk_idx"]
+            for st, off in zip(streams, man["offsets"]):
+                st.offset = off
+            self.score_A = {int(key): v
+                            for key, v in man["score_A"].items()}
+            self.nb_kmer_seen_infile = list(man["nb_seen"])
+        self.max_chunk_pairs = 0
+        done = True
+        for idx, chunk, offsets in chunk_rounds(streams, chunk_bytes):
+            mins_l, his_l, los_l, fids_l = [], [], [], []
+            qmins: Set[int] = set()
+            for f, buckets in enumerate(chunk):
+                if f < query_size:
+                    qmins.update(b[0] for b in buckets)
+                if not buckets:
+                    continue
+                mins, his, los = decode_bucket_pairs(buckets,
+                                                     self.k, self.m)
+                self.nb_kmer_seen_infile[f] += int(mins.size)
+                mins_l.append(mins)
+                his_l.append(his)
+                los_l.append(los)
+                fids_l.append(np.full(mins.size, f, dtype=np.int64))
+            if mins_l:
+                mins = np.concatenate(mins_l)
+                his = np.concatenate(his_l)
+                los = np.concatenate(los_l)
+                fids = np.concatenate(fids_l)
+                self.max_chunk_pairs = max(self.max_chunk_pairs,
+                                           int(mins.size))
+                self._score_pairs(mins, his, los, fids, query_size,
+                                  qmins if query_size < n else None)
+            if resume_path:
+                tmp = resume_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({
+                        "files": opened,
+                        "chunk_idx": start_chunk + idx + 1,
+                        "offsets": offsets,
+                        "score_A": {str(key): v for key, v
+                                    in self.score_A.items()},
+                        "nb_seen": self.nb_kmer_seen_infile,
+                    }, f)
+                os.replace(tmp, resume_path)
+            if max_chunks is not None and idx + 1 >= max_chunks:
+                done = all(st.exhausted() for st in streams)
+                break
+        if done and resume_path and os.path.exists(resume_path):
+            os.remove(resume_path)
+        return done
+
     def _score_pairs(self, mins, his, los, fids, query_size: int,
                      query_minimizers: Optional[Set[int]] = None) -> None:
         """Score decoded (minimizer, k-mer, file) pair arrays — the

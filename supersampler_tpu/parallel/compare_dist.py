@@ -67,60 +67,68 @@ def build_presence_chunks(files: List[str], query_size: int = None):
 
 def score_matrix_device(gids: np.ndarray, fids: np.ndarray, n_groups: int,
                         n_files: int, mesh: Mesh = None,
-                        chunk_groups: int = 4096,
+                        chunk_groups: int = 1 << 16,
                         axis_name: str = "data") -> np.ndarray:
     """Accumulate S = Pm^T Pm over group-chunks on device.
 
-    Presence chunks are built host-side as dense (chunk_groups, N)
-    float32 blocks (counts fit f32 exactly below 2^24 per chunk row;
-    the final sum is integer-exact since each partial is integral).
-    With a mesh, chunk rows are sharded over 'data' and partial scores
-    merged with a psum over ICI.
+    Presence blocks are built host-side ONE STEP AT A TIME — host
+    memory is bounded by a single (n_dev * chunk_groups, N) int8 block
+    regardless of the total group count (gids must be sorted, which
+    the grouping construction guarantees) — and accumulated into the
+    N x N score on device. int8 feeds the MXU's s8xs8->s32 path and
+    keeps counts integer-exact. With a mesh, each step's rows are
+    sharded over 'data' and the partial scores merged with a psum over
+    ICI.
     """
     if n_groups == 0 or fids.size == 0:
         return np.zeros((n_files, n_files), dtype=np.int64)
     n_dev = 1 if mesh is None else mesh.devices.size
+    rows_per_step = chunk_groups * n_dev
+    n_steps = -(-n_groups // rows_per_step)
 
-    # Pad groups so every device gets the same number of chunks.
-    rows_per_chunk = chunk_groups
-    n_chunks = -(-n_groups // rows_per_chunk)
-    n_chunks = -(-n_chunks // n_dev) * n_dev
-    total_rows = n_chunks * rows_per_chunk
+    @jax.jit
+    def accumulate(total, block):    # (rows, N) int8
+        return total + jnp.dot(block.T, block,
+                               preferred_element_type=jnp.int32)
 
-    # scatter presence into dense chunks on host; int8 feeds the MXU's
-    # s8xs8->s32 path and keeps counts integer-exact
-    pres = np.zeros((total_rows, n_files), dtype=np.int8)
-    pres[gids, fids] = 1
-    chunks = pres.reshape(n_chunks, rows_per_chunk, n_files)
-
-    @functools.partial(jax.jit)
-    def accumulate(blocks):  # (C, R, N) int8
-        flat = blocks.reshape(-1, blocks.shape[-1])
-        return jnp.dot(flat.T, flat, preferred_element_type=jnp.int32)
-
-    if mesh is None or n_dev == 1:
-        score = np.asarray(accumulate(jnp.asarray(chunks)))
-    else:
+    if mesh is not None and n_dev > 1:
         from jax import shard_map
 
+        @jax.jit
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=P(axis_name), out_specs=P())
-        def sharded(blocks):
-            local = accumulate(blocks)
-            return jax.lax.psum(local, axis_name)
+            in_specs=(P(), P(axis_name)), out_specs=P())
+        def accumulate_sharded(total, blocks):   # (n_dev, R, N) int8
+            local = jnp.dot(blocks[0].T, blocks[0],
+                            preferred_element_type=jnp.int32)
+            return total + jax.lax.psum(local, axis_name)
 
-        score = np.asarray(jax.jit(sharded)(jnp.asarray(chunks)))
-    return score.astype(np.int64)
+    # gids are sorted (cumsum construction): one searchsorted gives
+    # every step's slice
+    edges = np.searchsorted(
+        gids, np.arange(1, n_steps + 1) * rows_per_step)
+    total = jnp.zeros((n_files, n_files), jnp.int32)
+    s = 0
+    for step in range(n_steps):
+        e = int(edges[step])
+        block = np.zeros((rows_per_step, n_files), dtype=np.int8)
+        block[gids[s:e] - step * rows_per_step, fids[s:e]] = 1
+        if mesh is not None and n_dev > 1:
+            total = accumulate_sharded(
+                total, jnp.asarray(
+                    block.reshape(n_dev, chunk_groups, n_files)))
+        else:
+            total = accumulate(total, jnp.asarray(block))
+        s = e
+    return np.asarray(total).astype(np.int64)
 
 
 def scores_to_dict(score: np.ndarray, query_size: int) -> Dict[int, int]:
-    """Upper-triangular score matrix -> the reference's score_A map."""
+    """Upper-triangular score matrix -> the reference's score_A map
+    (vectorized; the N^2 Python loop dominated at large file counts)."""
     n = score.shape[0]
-    out: Dict[int, int] = {}
-    for i in range(n):
-        for j in range(i + 1, n):
-            v = int(score[i, j])
-            if v > 0:
-                out[i * n + j] = v
-    return out
+    iu, ju = np.triu_indices(n, k=1)
+    vals = score[iu, ju]
+    nz = vals > 0
+    keys = iu[nz].astype(np.int64) * n + ju[nz]
+    return dict(zip(keys.tolist(), vals[nz].tolist()))

@@ -127,8 +127,24 @@ def compare_all_vs_all_distributed(files: Sequence[str], mesh=None,
             np.full(mins.size, f, np.uint64)]))
     local = (np.concatenate(parts, axis=1) if parts
              else np.zeros((4, 0), np.uint64))
-    gathered = multihost_utils.process_allgather(local, tiled=False)
-    allp = np.concatenate([np.asarray(g) for g in gathered], axis=1)
+    # process_allgather requires shape-equal locals; per-host pair
+    # counts differ (strided fof shards), so exchange sizes first and
+    # pad to the maximum before gathering, trimming after. The u64
+    # pair values travel as u32 limb views: without jax_enable_x64 a
+    # u64 device array silently truncates to 32 bits (collapsing
+    # distinct k-mers into collisions).
+    n_local = local.shape[1]
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.array([n_local], np.int32), tiled=False)).reshape(-1)
+    mx = max(int(sizes.max()), 1)
+    local32 = np.ascontiguousarray(local).view(np.uint32)   # (4, 2n)
+    padded = np.zeros((4, 2 * mx), np.uint32)
+    padded[:, : 2 * n_local] = local32
+    gathered = np.asarray(multihost_utils.process_allgather(
+        padded, tiled=False)).reshape(cnt, 4, 2 * mx)
+    allp = np.concatenate(
+        [np.ascontiguousarray(gathered[i][:, : 2 * int(sizes[i])])
+         .view(np.uint64) for i in range(cnt)], axis=1)
     fids = allp[3].astype(np.int64)
     comp.nb_files = len(files)
     comp.query_size = query_size

@@ -52,3 +52,36 @@ def sharded_scan_fn(mesh: Mesh, k: int, m: int, padded_len: int,
     return jax.jit(fn,
                    in_shardings=(data, data, repl, repl),
                    out_shardings=data)
+
+
+def sharded_field_resolve_fn(mesh: Mesh, k: int, m: int, P_rec: int,
+                             sel_cap: int, axis_name: str = "data"):
+    """Mesh-sharded PRODUCT sketch engine: the fused batched field
+    scan+resolve (ops/field.py scan_resolve_batch — the same program
+    TpuSubsampler.sketch_file dispatches) with the record batch
+    sharded across the mesh axis.
+
+    Sketching is embarrassingly parallel over records (the reference's
+    only parallelism is the file-level OpenMP fan-out,
+    SubSampler.cpp:771-798), so each device resolves its shard with no
+    collectives; the returned (n_dev, arr_len) array stacks each
+    device's fetch array — parse each row's records with
+    parse_batched_array(row, sel_cap, B // n_dev).
+
+    packed: (B, P_rec//4) uint8, lengths: (B,) i32; B must be a
+    multiple of the mesh size."""
+    from jax import shard_map
+
+    from supersampler_tpu.ops.field import scan_resolve_batch
+
+    def local(packed, lengths, thi, tlo):
+        return scan_resolve_batch(packed, k, m, P_rec, sel_cap,
+                                  lengths, thi, tlo)[None, :]
+
+    # check_vma off: the local program is collective-free (purely
+    # per-record), but its lax.scan carries start from unvarying
+    # constants, which the varying-manual-axes checker rejects.
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis_name), P(axis_name), P(), P()),
+                   out_specs=P(axis_name), check_vma=False)
+    return jax.jit(fn)

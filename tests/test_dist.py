@@ -38,6 +38,50 @@ def test_compare_distributed_single_process(goldendir):
     assert comp.nb_kmer_seen_infile == ref.nb_kmer_seen_infile
 
 
+def test_real_two_process_distributed_compare(goldendir, tmp_path):
+    """Spawn TWO actual jax.distributed processes (localhost
+    coordinator, CPU backend) running compare_all_vs_all_distributed
+    end-to-end — the real process_allgather branch with unequal
+    per-host pair counts — and assert process 0's CSVs equal the
+    single-host engine's."""
+    import socket
+    import subprocess
+    import sys
+
+    with open(os.path.join(goldendir, "meta.json")) as f:
+        cfg = json.load(f)["compare"]
+    files = [os.path.join(goldendir, f_) for f_ in cfg["files"]]
+    fof = tmp_path / "fof.txt"
+    fof.write_text("\n".join(files) + "\n")
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "dist_worker.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)        # one device per process
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(i), "2", str(fof),
+         str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-3000:]
+
+    ref = TpuComparator(engine="numpy")
+    ref.files_names = list(files)
+    ref.compare_sketches(len(files))
+    assert (tmp_path / "containment.csv").read_text() \
+        == ref.containment_csv()
+    assert (tmp_path / "jaccard.csv").read_text() == ref.jaccard_csv()
+
+
 def test_simulated_two_host_shard_gather_score(goldendir):
     """Replicate the multi-host flow by hand: two 'hosts' decode
     disjoint strided file shards, pair arrays concatenate (the

@@ -51,6 +51,52 @@ def test_sharded_scan_matches_single(datadir):
             assert np.array_equal(a, b)
 
 
+def test_sharded_field_resolve_matches_single():
+    """The mesh-sharded PRODUCT engine (fused batched field
+    scan+resolve under shard_map) must equal the single-device batched
+    program record-for-record."""
+    from supersampler_tpu.ops.field import (parse_batched_array,
+                                            scan_resolve_batch)
+    from supersampler_tpu.ops.minimizer import pack_2bit_np
+    from supersampler_tpu.parallel.mesh import sharded_field_resolve_fn
+
+    k, m, s = 31, 11, 4.0
+    P_rec, B, cap = 1024, 16, 2048
+    thr = compute_threshold(k, m, s)
+    thi = jnp.uint32(thr >> 32)
+    tlo = jnp.uint32(thr & 0xFFFFFFFF)
+    rng = np.random.default_rng(23)
+    packed = np.zeros((B, P_rec // 4), np.uint8)
+    lengths = rng.integers(100, 900, size=B).astype(np.int32)
+    for b in range(B):
+        codes = rng.integers(0, 4, size=P_rec, dtype=np.uint8)
+        codes[lengths[b]:] = 0
+        packed[b] = pack_2bit_np(codes)
+
+    n_dev = 8
+    mesh = make_mesh(jax.devices()[:n_dev])
+    fn = sharded_field_resolve_fn(mesh, k, m, P_rec, cap)
+    rows = np.asarray(fn(jnp.asarray(packed), jnp.asarray(lengths),
+                         thi, tlo))
+    assert rows.shape[0] == n_dev
+    got = []
+    for d in range(n_dev):
+        g, n_total, comps, st = parse_batched_array(
+            rows[d], cap, B // n_dev)
+        assert g == 0 and comps is not None
+        got.extend(comps)
+
+    arr1 = jax.device_get(scan_resolve_batch(
+        jnp.asarray(packed), k, m, P_rec, cap,
+        jnp.asarray(lengths), thi, tlo))
+    g, n_total, want, st = parse_batched_array(arr1, cap, B)
+    assert g == 0
+    for b in range(B):
+        for i, (w, gg) in enumerate(zip(want[b], got[b])):
+            assert np.array_equal(np.asarray(gg), np.asarray(w)), \
+                (b, i)
+
+
 def test_score_matmul_matches_reference_scores(goldendir):
     import os
 
