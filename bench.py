@@ -89,15 +89,16 @@ def main():
         packed_in.append(pack_2bit_np(c))
 
     # --- kernel: data-resident difference timing -----------------------
-    # (a) the sync-field engine (the product default, ops/field.py)
-    from supersampler_tpu.ops.field import field_entry_init, resolve_field
-    from supersampler_tpu.sketch.pipeline import device_scan_field_packed
+    # (a) the sync-field engine (the product default, ops/field.py),
+    # via the fused scan+entry+resolve program the pipeline dispatches
+    from supersampler_tpu.ops.field import scan_resolve_single
 
     ext_in = []
     for codes in record_codes:
-        c = np.zeros(PAD + 128, np.uint8)
+        c = np.zeros(128 + PAD + 512, np.uint8)
         c[128 : 128 + glen] = codes
         ext_in.append(pack_2bit_np(c))
+    P_T = PAD + 512
     ext_dev = [jax.device_put(p) for p in ext_in]
     packed_dev = [jax.device_put(p) for p in packed_in]
     # force the H2D transfers to complete before timing anything
@@ -109,15 +110,22 @@ def main():
         t0 = time.perf_counter()
         arr = None
         for i in range(n):
-            ft = device_scan_field_packed(
-                ext_dev[i % NREC][32:], K, M, PAD, jnp.int32(glen), True)
-            entry = field_entry_init(ft, thi, tlo)
-            arr = resolve_field(ft, K, M, 4096, entry, thi, tlo)
+            arr = scan_resolve_single(ext_dev[i % NREC], K, M, P_T,
+                                      4096, jnp.int32(glen), thi, tlo)
         jax.device_get(arr)     # drains the in-order device queue
         return time.perf_counter() - t0
 
+    def check_field_arr():
+        # an overflow/failure would silently time truncated work and
+        # corrupt the ledger: verify once outside the timed region
+        a = jax.device_get(scan_resolve_single(
+            ext_dev[0], K, M, P_T, 4096, jnp.int32(glen), thi, tlo))
+        assert int(a[0]) == 0 and int(a[1]) <= 4096, (
+            "field resolve invalid on bench input", int(a[0]), int(a[1]))
+
     try:
         drain_field(2)          # compile + warm
+        check_field_arr()
         tf_s, f_short = _stats(
             [drain_field(NREC) for _ in range(TRIALS)])
         tf_l, f_long = _stats(
@@ -147,16 +155,14 @@ def main():
     kernel_dt = max(t_long - t_short, 1e-9)
     kernel_mbps = NREC * glen / 1e6 / kernel_dt
 
-    # --- device path (rounds 1-2 protocol: H2D inside the loop; routed
-    # through the default field engine since r3) ------------------------
+    # --- device path (rounds 1-2 protocol: H2D inside the loop; the
+    # fused field program since r4, one final fetch) --------------------
     def device_path_once():
         t0 = time.perf_counter()
         arr = None
         for p in ext_in:
-            ft = device_scan_field_packed(
-                jax.device_put(p)[32:], K, M, PAD, jnp.int32(glen), True)
-            entry = field_entry_init(ft, thi, tlo)
-            arr = resolve_field(ft, K, M, 4096, entry, thi, tlo)
+            arr = scan_resolve_single(jax.device_put(p), K, M, P_T,
+                                      4096, jnp.int32(glen), thi, tlo)
         jax.device_get(arr)
         return time.perf_counter() - t0
 
@@ -182,6 +188,29 @@ def main():
             e2e_ts.append(time.perf_counter() - t0)
         e2e_med, e2e_st = _stats(e2e_ts)
         e2e_mbps = NREC * glen / 1e6 / e2e_med
+
+        # --- reads corpus: 10k x 1 kb records through the batched
+        # short-record engine (one fused dispatch + one fetch per
+        # record batch) ------------------------------------------------
+        n_reads, read_len = 10000, 1000
+        reads_fa = os.path.join(tmpdir, "reads.fa")
+        rcodes = rng.integers(0, 4, size=(n_reads, read_len),
+                              dtype=np.uint8)
+        with open(reads_fa, "w") as f:
+            for i in range(n_reads):
+                f.write(f">q{i}\n")
+                f.write(nuc[rcodes[i]].tobytes().decode())
+                f.write("\n")
+        reads_mb = n_reads * read_len / 1e6
+        TpuSubsampler(k=K, m=M, s=S).sketch_file(reads_fa)   # warm
+        r_ts = []
+        for _ in range(TRIALS):
+            ss = TpuSubsampler(k=K, m=M, s=S)
+            t0 = time.perf_counter()
+            ss.sketch_file(reads_fa)
+            r_ts.append(time.perf_counter() - t0)
+        reads_med, reads_st = _stats(r_ts)
+        reads_mbps = reads_mb / reads_med
 
         # --- all-vs-all comparison over the corpus's sketches ----------
         from supersampler_tpu.compare.merge import TpuComparator
@@ -239,27 +268,35 @@ def main():
         "unit": "Mbases/s",
         "vs_baseline": round(e2e_mbps / BASELINE_CPU_8T_MBASES_S, 3),
         "detail": {
+            # protocol 4 (r4): engine-named kernel keys (the r3
+            # "kernel_*" keys silently changed engines between rounds)
+            "protocol": 4,
             "end_to_end_mbases_s": round(e2e_mbps, 1),
             "end_to_end": e2e_st,
-            "kernel_mbases_s": round(field_mbps, 1),
-            "kernel_vs_baseline": round(
+            "reads_e2e_mbases_s": round(reads_mbps, 1),
+            "reads_e2e": dict(reads_st, records=n_reads,
+                              read_len=read_len),
+            "field_kernel_mbases_s": round(field_mbps, 1),
+            "field_kernel_vs_baseline": round(
                 field_mbps / BASELINE_CPU_8T_MBASES_S, 3),
-            "kernel": {"short": f_short, "long": f_long,
-                       "diff_s": round(field_dt, 4),
-                       "engine": "sync-field (default)"},
+            "field_kernel": {"short": f_short, "long": f_long,
+                             "diff_s": round(field_dt, 4),
+                             "engine": "sync-field fused (default)"},
             "walker_kernel_mbases_s": round(kernel_mbps, 1),
             "walker_kernel": {"short": short_st, "long": long_st,
                               "diff_s": round(kernel_dt, 4),
                               "engine": "succ-tables+walker (fallback)"},
             "roofline": {
-                "note": "sync-field kernel split (measured r3): field "
-                        "scan ~3.5ms/4.2Mbp + Mosaic sweeps+resolve "
-                        "~1.7ms; the serial walker fallback pays "
-                        "~15.7ms of scalar-core chain steps instead. "
-                        "e2e now pays the ~100 MB/s host link (2-bit "
-                        "packed => ~400 Mbases/s H2D ceiling) plus "
-                        "host parse/pack; overlapping record streams "
-                        "hide part of it.",
+                "note": "r4 platform re-measurement: H2D is GB/s-class "
+                        "at median but every D2H (and put-while-busy) "
+                        "blocks the in-order device stream for a full "
+                        "~33 ms link round-trip; the pipeline batches "
+                        "records into single fused dispatches and "
+                        "single stacked fetches to amortize it. "
+                        "Data-resident field kernel is the per-record "
+                        "ceiling; e2e adds host parse/clean+pack (C, "
+                        "~700 MB/s/core on this 2-vCPU host) and the "
+                        "per-batch round-trips.",
             },
             "device_path_mbases_s": round(device_mbps, 1),
             "device_path_vs_baseline": round(

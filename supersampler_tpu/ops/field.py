@@ -1104,6 +1104,94 @@ def field_carry(arr, own: int):
         arr[7], arr[8], arr[9], arr[10] - own, arr[11] - own, z, z, z])
 
 
+@jax.jit
+def field_entry_to_walker_init(t: FieldTables, entry):
+    """Convert a field-machine entry state into the legacy walker's
+    entering chain state (init5, fb) for the SAME region.
+
+    The walker needs the position/type of the first event in the
+    region; the field tables supply it directly: the first adoption is
+    the first position whose entering hash strictly undercuts the held
+    hash (reference SubSampler.cpp:374-388), the expiry fires at the
+    first position >= position_min (SubSampler.cpp:391-399), and at a
+    shared position adoption wins (the reference checks it first).
+    Enables tile-granular fallback: a tile whose sync resolution
+    overflows re-runs through the exact walker without re-running its
+    predecessors."""
+    P = t.h_hi.shape[0]
+    hh = jax.lax.bitcast_convert_type(entry[1], _U32).reshape(())
+    hl = jax.lax.bitcast_convert_type(entry[2], _U32).reshape(())
+    j = jnp.arange(P, dtype=_I32)
+    lt = (t.h_hi < hh) | ((t.h_hi == hh) & (t.h_lo < hl))
+    valid = lt & (j <= t.last_i)
+    big = jnp.int32(P)
+    j_adopt = jnp.min(jnp.where(valid, j, big))
+    p = entry[3]
+    j_exp = jnp.where(p <= t.last_i, jnp.maximum(p, 0), big)
+    npos = jnp.minimum(j_adopt, j_exp)
+    ntyp = jnp.where(j_adopt <= j_exp, 0, 1).astype(_I32)
+    has = npos <= t.last_i
+    val_bits = jax.lax.bitcast_convert_type(entry[0], _U32).reshape(())
+    sel = ((val_bits >> 31) & 1).astype(_I32)
+    # cur_pos = the entry's (negative, local) last-event position: the
+    # first emit's last_position is cur_pos + 1, i.e. the open
+    # super-k-mer's start carried over from the previous tile
+    init5 = jnp.stack([
+        jnp.where(has, npos, -1).astype(_I32), ntyp, sel,
+        entry[4].astype(_I32), jnp.int32(0)])
+    fb = jnp.stack([
+        jax.lax.bitcast_convert_type(
+            val_bits & ((1 << 30) - 1), _I32).reshape(()),
+        ((val_bits >> 30) & 1).astype(_I32)])
+    return init5, fb
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def walker_exit_to_field_entry(t: FieldTables, scal, entry, k: int,
+                               m: int, own: int, thr_hi, thr_lo):
+    """Convert the walker's exit state after a fallback tile back into
+    the NEXT tile's field entry (re-based by -own).
+
+    scal: the walker's [n_ev, cur_pos, cur_typ, cur_sel, ...] final
+    snapshot. The held minimizer's value/hash/position_min come from
+    the field tables at the last event: an adoption at j holds the
+    entering m-mer (val=cv[j], hash=h[j], p=j+W); a rescan holds the
+    window election (em/eh[j], p=ep[j]+j+1 — the reference's
+    position_min += i+1 quirk, SubSampler.cpp:397). With no event in
+    the walk the entry passes through re-based."""
+    W = k - m + 1
+    P = t.h_hi.shape[0]
+    cur_pos, cur_typ = scal[1], scal[2]
+    no_ev = cur_pos < 0
+    pc = jnp.clip(cur_pos, 0, P - 1)
+    isA = cur_typ == 0
+    val = jnp.where(isA, t.cv[pc], t.em[pc])
+    hh = jnp.where(isA, t.h_hi[pc], t.eh_hi[pc])
+    hl = jnp.where(isA, t.h_lo[pc], t.eh_lo[pc])
+    p_new = jnp.where(isA, pc + W, t.ep[pc] + pc + 1)
+    thr_hi = jnp.asarray(thr_hi, _U32).reshape(())
+    thr_lo = jnp.asarray(thr_lo, _U32).reshape(())
+    sel = ((hh < thr_hi) | ((hh == thr_hi) & (hl <= thr_lo)))
+    valb = val | (sel.astype(_U32) << 31)
+    e_val = jnp.where(no_ev,
+                      jax.lax.bitcast_convert_type(entry[0], _U32)
+                      .reshape(()), valb)
+    e_hh = jnp.where(no_ev,
+                     jax.lax.bitcast_convert_type(entry[1], _U32)
+                     .reshape(()), hh)
+    e_hl = jnp.where(no_ev,
+                     jax.lax.bitcast_convert_type(entry[2], _U32)
+                     .reshape(()), hl)
+    e_p = jnp.where(no_ev, entry[3], p_new) - own
+    e_le = jnp.where(no_ev, entry[4], cur_pos) - own
+    z = jnp.int32(0)
+    return jnp.stack([
+        jax.lax.bitcast_convert_type(e_val, _I32).reshape(()),
+        jax.lax.bitcast_convert_type(e_hh, _I32).reshape(()),
+        jax.lax.bitcast_convert_type(e_hl, _I32).reshape(()),
+        e_p.astype(_I32), e_le.astype(_I32), z, z, z])
+
+
 def parse_field_array(arr: np.ndarray, cap: int):
     """Host-side split into (status, compact-9-tuple, n_sel)."""
     status = int(arr[0])

@@ -442,160 +442,6 @@ def _mmer_elect_block(c2, k, m, C, halo):
     return canon, rev, hh, em, ep, er, eh, h_ent
 
 
-# ----------------------------------------------------------------------
-# Associative window elections: the W-fold above costs (W-1) vector
-# passes over the full position axis (~60% of the field scan at
-# k=31,m=11). The same elections decompose into per-block cumulative
-# folds + one cross-block combine per window — ~3 amortized combines
-# per position — because the fold's state is mergeable whenever the two
-# segments' minimum hashes differ (the winning side's tie bookkeeping
-# cannot involve the losing side: an equal-hash m-mer there would have
-# lowered its minimum). Equal-hash merges carry enough order
-# statistics (min forward position, top-2 reverse positions) to
-# reproduce regular_minimizer_pos's quirky tie rules exactly — see
-# _elect_finalize. The one case the merge cannot reproduce is a
-# 64-bit xxh64 collision between two DIFFERENT m-mers inside one
-# window (the fold keeps the scan-order-first, which is not an extreme
-# statistic); such windows raise a poison flag and the caller falls
-# back to the exact fold path. Reference: SubSampler.cpp:81-169.
-# ----------------------------------------------------------------------
-
-_M30 = jnp.uint32((1 << 30) - 1)
-_BIGP = jnp.int32(0x7FFFFFFF)
-
-
-def _elect_init(hhi, hlo, cv, p, is_rev):
-    """Single-candidate election state at absolute column p."""
-    return (hhi, hlo, cv, p,
-            jnp.where(is_rev, _BIGP, p),              # min fwd p
-            jnp.where(is_rev, p, jnp.int32(-1)),      # max rev p
-            jnp.full_like(p, -1),                     # 2nd max rev p
-            jnp.zeros(p.shape, bool))                 # poison
-
-
-def _elect_pad(shape):
-    """Identity element: +inf hash loses every strict compare."""
-    return (jnp.full(shape, 0xFFFFFFFF, _U32),
-            jnp.full(shape, 0xFFFFFFFF, _U32),
-            jnp.zeros(shape, _U32), jnp.full(shape, -1, _I32),
-            jnp.full(shape, _BIGP, _I32), jnp.full(shape, -1, _I32),
-            jnp.full(shape, -1, _I32), jnp.zeros(shape, bool))
-
-
-def _elect_combine(A, B):
-    """Merge two segments' election states (commutative)."""
-    ahi, alo, acv, amp, amf, a1, a2, apo = A
-    bhi, blo, bcv, bmp, bmf, b1, b2, bpo = B
-    a_lt = (ahi < bhi) | ((ahi == bhi) & (alo < blo))
-    eq = ~a_lt & (ahi == bhi) & (alo == blo)
-    a_first = amp > bmp
-    cv_eq = jnp.where(a_first, acv, bcv)
-    mp_eq = jnp.maximum(amp, bmp)
-    mf_eq = jnp.minimum(amf, bmf)
-    m1_eq = jnp.maximum(a1, b1)
-    m2_eq = jnp.maximum(jnp.minimum(a1, b1), jnp.maximum(a2, b2))
-    po_eq = apo | bpo | (((acv ^ bcv) & _M30) != 0)
-
-    def pick(fa, fb, fe):
-        return jnp.where(eq, fe, jnp.where(a_lt, fa, fb))
-
-    take_a = a_lt | eq
-    return (jnp.where(take_a, ahi, bhi), jnp.where(take_a, alo, blo),
-            pick(acv, bcv, cv_eq), pick(amp, bmp, mp_eq),
-            pick(amf, bmf, mf_eq), pick(a1, b1, m1_eq),
-            pick(a2, b2, m2_eq), pick(apo, bpo, po_eq))
-
-
-def _elect_finalize(S, j, W):
-    """Election outputs for window starts j from merged states.
-
-    Tie positions replicate the fold exactly: a forward minimizer's
-    position is its leftmost occurrence (offset space); a reverse
-    minimizer anchored at the window's right edge reports 0 (i-space
-    init), otherwise min(o*, i_first) where o* is the anchor's offset
-    (the strict adoption stores offset space even for reverse,
-    SubSampler.cpp:128-133) and i_first the mirrored position of the
-    next reverse occurrence (the single i-space tie update that can
-    fire, SubSampler.cpp:149-157)."""
-    hhi, hlo, cv, mp, mf, m1, m2, po = S
-    er = (cv >> 30) != 0
-    em = cv & _M30
-    right = j + (W - 1)
-    o_star = mp - j
-    i_f = right - m2
-    rev_pos = jnp.where(mp == right, 0,
-                        jnp.where(m2 >= 0, jnp.minimum(o_star, i_f),
-                                  o_star))
-    ep = jnp.where(er, rev_pos, mf - j).astype(_I32)
-    return em, ep, er, U.U64(hhi, hlo), po
-
-
-def window_elections_assoc(canon, rev, hh, W: int, w_e: int):
-    """All window elections over the last axis via block folds.
-
-    canon/rev/hh: (..., w_m) m-mer arrays with w_m >= w_e + W - 1.
-    Returns (em, ep, er, eh, poison) of width w_e. Exact vs
-    _mmer_elect_block's fold except where poison is set (cross-m-mer
-    hash collision inside a window; callers must fall back there)."""
-    lead = canon.shape[:-1]
-    w_m = canon.shape[-1]
-    nb = -(-(w_e + W - 1) // W)
-    padw = nb * W - w_m
-
-    cv = canon | (rev.astype(_U32) << 30)
-    p = jnp.broadcast_to(
-        jnp.arange(nb * W, dtype=_I32), lead + (nb * W,))
-    if padw > 0:
-        padshape = lead + (padw,)
-        hhi = jnp.concatenate(
-            [hh.hi, jnp.full(padshape, 0xFFFFFFFF, _U32)], axis=-1)
-        hlo = jnp.concatenate(
-            [hh.lo, jnp.full(padshape, 0xFFFFFFFF, _U32)], axis=-1)
-        cv = jnp.concatenate([cv, jnp.zeros(padshape, _U32)], axis=-1)
-        rv = jnp.concatenate([rev, jnp.zeros(padshape, bool)], axis=-1)
-    else:
-        hhi, hlo = hh.hi[..., :nb * W], hh.lo[..., :nb * W]
-        cv, rv = cv[..., :nb * W], rev[..., :nb * W]
-
-    blk = lambda a: a.reshape(lead + (nb, W))
-    st = _elect_init(blk(hhi), blk(hlo), blk(cv), blk(p), blk(rv))
-    elem = [tuple(f[..., c] for f in st) for c in range(W)]
-
-    tails = [None] * W
-    tails[W - 1] = elem[W - 1]
-    for c in range(W - 2, -1, -1):
-        tails[c] = _elect_combine(elem[c], tails[c + 1])
-    heads = [None] * W
-    heads[0] = elem[0]
-    for c in range(1, W):
-        heads[c] = _elect_combine(heads[c - 1], elem[c])
-
-    ident = _elect_pad(lead + (1,))
-    outs = [tails[0]]
-    for off in range(1, W):
-        nxt = tuple(
-            jnp.concatenate([f[..., 1:], i], axis=-1)
-            for f, i in zip(heads[off - 1], ident))
-        outs.append(_elect_combine(tails[off], nxt))
-    S = tuple(jnp.stack(fs, axis=-1)
-              for fs in zip(*outs))                 # (..., nb, W)
-    S = tuple(f.reshape(lead + (nb * W,))[..., :w_e] for f in S)
-    j = jnp.broadcast_to(jnp.arange(w_e, dtype=_I32), lead + (w_e,))
-    return _elect_finalize(S, j, W)
-
-
-def _mmer_elect_block_fast(c2, k, m, C, halo):
-    """_mmer_elect_block with the associative election path: same
-    returns plus a per-window poison mask (width C+W)."""
-    W = k - m + 1
-    w_m = C + halo - (m - 1)
-    canon, rev, hh = _mmer_build_block(c2, m, w_m)
-    w_e = w_m - (k - m)
-    em, ep, er, eh, po = window_elections_assoc(canon, rev, hh, W, w_e)
-    h_ent = _slh(hh, k - m + 1, C + W)
-    return canon, rev, hh, em, ep, er, eh, h_ent, po
-
-
 def _block_tables(c2, row0, length, threshold, k, m, C, halo):
     """Successor/payload tables for a (Rb, C+halo) block of codes whose
     first row starts at flat position row0*C. Shared by the XLA 2D path

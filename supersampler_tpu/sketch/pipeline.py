@@ -257,9 +257,12 @@ class FieldChain:
     with optional device dedup. The walker-free default engine
     (ops/field.py); on a resolution overflow (pathological content,
     e.g. multi-kilobase homopolymer runs defeating the sync theorem's
-    pass budget) it transparently re-runs the sequence through the
-    legacy successor-table + serial-walker path, which is exact on
-    everything.
+    pass budget) ONLY the failing tile re-runs through the legacy
+    successor-table + serial-walker path (exact on everything) — the
+    machine state converts walker<->field at the tile boundary
+    (ops/field.py field_entry_to_walker_init /
+    walker_exit_to_field_entry), so healthy tiles never pay the
+    serial walker.
     """
 
     def __init__(self, packed_slab: np.ndarray, n_tiles: int, k: int,
@@ -286,7 +289,7 @@ class FieldChain:
         self._pending = []
         self._next_tile = 0
         self._entry = None
-        self.failed = False
+        self.fallback_tiles = []   # tiles that took the walker path
         self.uniques_list = [] if dedup else None
         # fused single-tile dispatch: scan+entry+resolve as one jit
         # (one RPC instead of three; measured ~2 ms/record of remote
@@ -341,11 +344,61 @@ class FieldChain:
             pass
         self._pending.append((t, ft, entry, ext, cap, K, arr))
 
+    def _tile_fallback(self, t, ft, entry, ext, cap):
+        """Exact walker re-run of ONE failed tile; predecessors' field
+        results stand and the exit state re-enters the field path at
+        tile t+1 (tiles already dispatched past t carried a garbage
+        entry and are discarded/redispatched)."""
+        from supersampler_tpu.ops.field import (
+            field_entry_to_walker_init, walker_exit_to_field_entry)
+
+        self._pending.clear()
+        self._next_tile = t + 1
+        self.fallback_tiles.append(t)
+        k, m = self._k, self._m
+        own = self._own
+        last = t == self._n_tiles - 1
+        tables = device_scan_2d_packed(
+            ext[32:], k, m, self._tile_p,
+            jnp.int32(self._L - t * own), U.U64(*self._thr))
+        init5, fb = field_entry_to_walker_init(ft, entry)
+        guess = own if self._select_all else max(cap, 4096)
+        if self._dedup:
+            dc = DedupDeviceChain(
+                tables, ext, self._tile_p + 128, k, m,
+                (self._L - t * own) if last else -1,
+                sel_cap_guess=guess, kmer_cap_guess=self._kguess,
+                init5=init5, fb=fb, n_pad=own)
+            scal = dc._dc.scal
+        else:
+            dc = DeviceChain(tables, sel_cap_guess=guess, init5=init5,
+                             fb=fb, n_pad=own)
+            scal = dc.scal
+        if not last:
+            self._entry = walker_exit_to_field_entry(
+                ft, scal, entry, k, m, own, *self._thr)
+        comp = dc.compact()
+        if self._dedup:
+            self.uniques_list.append(dc.uniques)
+            self._kguess = max(8192, 2 * dc.n_kmers)
+        if not self._select_all:
+            self._guess = max(4096, 2 * dc.n_sel)
+        self._parts.append((t, comp))
+
     def _fetch_one(self):
         t, ft, entry, ext, cap, K, arr = self._pending.pop(0)
         a = jax.device_get(arr)
         if int(a[0]) != 0:
-            self.failed = True
+            if ft is None:
+                # fused single-tile dispatch kept no tables: recompute
+                # them (cheap next to the walker it feeds)
+                from supersampler_tpu.ops.field import field_entry_init
+
+                ft = device_scan_field_packed(
+                    ext[32:], self._k, self._m, self._tile_p,
+                    jnp.int32(self._L), True)
+                entry = field_entry_init(ft, *self._thr)
+            self._tile_fallback(t, ft, entry, ext, cap)
             return
         n_sel = int(a[1])
         n_kmers = int(a[12 + 4 * cap]) if self._dedup else 0
@@ -387,14 +440,16 @@ class FieldChain:
         self._parts.append((t, comp))
 
     def compact(self):
-        while self._next_tile < self._n_tiles and not self.failed:
-            if len(self._pending) >= self._window:
+        # single driver loop: a tile fallback during the drain phase
+        # rewinds _next_tile (its successors were dispatched with a
+        # garbage entry), so dispatching must stay possible until the
+        # very end
+        while self._next_tile < self._n_tiles or self._pending:
+            if (len(self._pending) >= self._window
+                    or self._next_tile >= self._n_tiles):
                 self._fetch_one()
-            self._dispatch_one()
-        while self._pending and not self.failed:
-            self._fetch_one()
-        if self.failed:
-            return self._fallback_compact()
+            else:
+                self._dispatch_one()
         pos_l, last_l, val_l, rev_l = [], [], [], []
         n_ev = 0
         tail = (0, False, False)
@@ -414,21 +469,6 @@ class FieldChain:
         return (np.concatenate(pos_l), np.concatenate(last_l),
                 np.concatenate(val_l), np.concatenate(rev_l), n_ev,
                 last_ev_pos, tail[0], tail[1], tail[2])
-
-    def _fallback_compact(self):
-        """Exact re-run through the legacy walker path."""
-        self._pending.clear()
-        legacy = TiledDeviceChain(
-            self._slab, self._n_tiles, self._k, self._m, self._L,
-            self._thrv, sel_cap_guess=self._guess,
-            select_all=self._select_all, own=self._own,
-            extra=self._extra, dedup=self._dedup,
-            kmer_cap_guess=self._kguess)
-        comp = legacy.compact()
-        self.n_sel = legacy.n_sel
-        if self._dedup:
-            self.uniques_list = legacy.uniques_list
-        return comp
 
 
 class TpuSubsampler(OracleSubsampler):

@@ -109,10 +109,44 @@ def test_field_fallback_on_sync_desert():
     dc = ss._launch_scan(ref.encode())
     assert isinstance(dc, FieldChain)
     ss._finish_scan(ref, dc)
-    assert dc.failed, "sync desert should have forced the fallback"
+    assert dc.fallback_tiles, \
+        "sync desert should have forced the walker fallback"
     oracle = OracleSubsampler(k=31, m=11, s=2.0)
     oracle.scan_sequence(ref)
     assert ss.serialize() == oracle.serialize()
+
+
+def test_field_fallback_is_tile_granular():
+    """A homopolymer desert confined to ONE tile must send only that
+    tile to the walker; the surrounding tiles stay on the field path
+    and the sketch remains byte-exact (machine state converts
+    walker<->field at the tile boundaries)."""
+    from supersampler_tpu.oracle.subsampler import OracleSubsampler
+    from supersampler_tpu.sketch.pipeline import FieldChain, TpuSubsampler
+
+    OWN = 2048
+
+    class SmallTiles(TpuSubsampler):
+        scan_engine = "field"
+        _tile_own = OWN
+        _tile_extra = 512
+
+    rng = np.random.default_rng(77)
+    mk = lambda n: "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+    # tiles 0-1 healthy, tile 2 a desert, tiles 3-4 healthy
+    ref = mk(2 * OWN + 300) + "A" * 1500 + mk(2 * OWN - 300)
+    for s in (2.0, 20.0):
+        ss = SmallTiles(k=31, m=11, s=s)
+        dc = ss._launch_scan(ref.encode())
+        assert isinstance(dc, FieldChain) and dc._n_tiles >= 5
+        ss._finish_scan(ref, dc)
+        assert dc.fallback_tiles, "desert tile must fall back"
+        assert len(dc.fallback_tiles) < dc._n_tiles, \
+            "fallback must not consume every tile"
+        assert 2 in dc.fallback_tiles
+        oracle = OracleSubsampler(k=31, m=11, s=s)
+        oracle.scan_sequence(ref)
+        assert ss.serialize() == oracle.serialize(), s
 
 
 def test_field_carry_chain_matches_single():
