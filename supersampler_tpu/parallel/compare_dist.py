@@ -67,7 +67,7 @@ def build_presence_chunks(files: List[str], query_size: int = None):
 
 def score_matrix_device(gids: np.ndarray, fids: np.ndarray, n_groups: int,
                         n_files: int, mesh: Mesh = None,
-                        chunk_groups: int = 1 << 16,
+                        chunk_groups: int = 1 << 18,
                         axis_name: str = "data") -> np.ndarray:
     """Accumulate S = Pm^T Pm over group-chunks on device.
 
@@ -83,6 +83,10 @@ def score_matrix_device(gids: np.ndarray, fids: np.ndarray, n_groups: int,
     if n_groups == 0 or fids.size == 0:
         return np.zeros((n_files, n_files), dtype=np.int64)
     n_dev = 1 if mesh is None else mesh.devices.size
+    # per-device rows per step: everything in one step when it fits
+    # the host-block byte budget (~128 MB), else bounded chunks
+    chunk_groups = min(chunk_groups, -(-n_groups // n_dev),
+                       max(4096, (128 << 20) // (n_files * n_dev)))
     rows_per_step = chunk_groups * n_dev
     n_steps = -(-n_groups // rows_per_step)
 
@@ -94,14 +98,21 @@ def score_matrix_device(gids: np.ndarray, fids: np.ndarray, n_groups: int,
     if mesh is not None and n_dev > 1:
         from jax import shard_map
 
+        # per-device partial totals, sharded over the mesh; ONE
+        # cross-device reduction at the end instead of a psum per step
         @jax.jit
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(), P(axis_name)), out_specs=P())
-        def accumulate_sharded(total, blocks):   # (n_dev, R, N) int8
-            local = jnp.dot(blocks[0].T, blocks[0],
-                            preferred_element_type=jnp.int32)
-            return total + jax.lax.psum(local, axis_name)
+            in_specs=(P(axis_name), P(axis_name)),
+            out_specs=P(axis_name))
+        def accumulate_sharded(totals, blocks):  # (n_dev, N, N)/(n_dev, R, N)
+            return totals + jnp.dot(
+                blocks[0].T, blocks[0],
+                preferred_element_type=jnp.int32)[None]
+
+        shard_in = NamedSharding(mesh, P(axis_name))
+        totals = jax.device_put(
+            np.zeros((n_dev, n_files, n_files), np.int32), shard_in)
 
     # gids are sorted (cumsum construction): one searchsorted gives
     # every step's slice
@@ -114,12 +125,17 @@ def score_matrix_device(gids: np.ndarray, fids: np.ndarray, n_groups: int,
         block = np.zeros((rows_per_step, n_files), dtype=np.int8)
         block[gids[s:e] - step * rows_per_step, fids[s:e]] = 1
         if mesh is not None and n_dev > 1:
-            total = accumulate_sharded(
-                total, jnp.asarray(
-                    block.reshape(n_dev, chunk_groups, n_files)))
+            # put with the target sharding: a plain asarray would
+            # replicate the whole block to every device first
+            totals = accumulate_sharded(
+                totals, jax.device_put(
+                    block.reshape(n_dev, chunk_groups, n_files),
+                    shard_in))
         else:
             total = accumulate(total, jnp.asarray(block))
         s = e
+    if mesh is not None and n_dev > 1:
+        total = jnp.sum(totals, axis=0)      # one all-reduce
     return np.asarray(total).astype(np.int64)
 
 
