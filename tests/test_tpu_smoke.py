@@ -164,3 +164,55 @@ def test_mosaic_walker_matches_xla_on_tpu():
         got = (np.concatenate(ents) if ents
                else np.zeros(0, dtype=want.dtype))
         assert np.all(got == want)
+
+
+def test_batched_short_records_on_tpu(tmp_path):
+    """Batched short-record engine (scan_resolve_batch with per-lane
+    position frames in the compiled Mosaic sweep kernel) vs the oracle
+    on the real chip — the r3 miscompile class that interpret mode
+    cannot catch."""
+    import io
+    import random
+
+    from supersampler_tpu.oracle.subsampler import OracleSubsampler
+    from supersampler_tpu.sketch.pipeline import TpuSubsampler
+
+    rng = random.Random(2026)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i in range(150):
+            L = rng.randint(100, 2000)
+            s = "".join(rng.choice("ACGT") for _ in range(L))
+            f.write(f">r{i}\n{s}\n")
+    for s_rate in (1.0, 4.0):
+        oracle = OracleSubsampler(k=31, m=11, s=s_rate)
+        oracle.log = io.StringIO()
+        want = oracle.sketch_file(str(fa))
+        tpu = TpuSubsampler(k=31, m=11, s=s_rate)
+        tpu.log = io.StringIO()
+        assert tpu.sketch_file(str(fa)) == want, s_rate
+
+
+def test_tile_fallback_on_tpu():
+    """Tile-granular walker fallback (field->walker->field state
+    conversion) byte-exact on the chip."""
+    from supersampler_tpu.oracle.subsampler import OracleSubsampler
+    from supersampler_tpu.sketch.pipeline import TpuSubsampler
+
+    OWN = 1 << 18
+
+    class SmallTiles(TpuSubsampler):
+        scan_engine = "field"
+        _tile_own = OWN
+        _tile_extra = 512
+
+    rng = np.random.default_rng(7)
+    mk = lambda n: "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+    ref = mk(OWN + 5000) + "A" * 4000 + mk(OWN - 5000)
+    ss = SmallTiles(k=31, m=11, s=3.0)
+    dc = ss._launch_scan(ref.encode())
+    ss._finish_scan(ref, dc)
+    assert dc.fallback_tiles and len(dc.fallback_tiles) < dc._n_tiles
+    oracle = OracleSubsampler(k=31, m=11, s=3.0)
+    oracle.scan_sequence(ref)
+    assert ss.serialize() == oracle.serialize()
