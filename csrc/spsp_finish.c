@@ -549,3 +549,36 @@ int64_t spsp_finish_serialize(void *hd, char **out, int64_t *counters)
 }
 
 void spsp_finish_release(char *p) { free(p); }
+
+/* Batch span ingest: one ctypes call feeds a contiguous RUN of
+ * records (record order preserved -- the store's first-insertion
+ * order is part of the byte-exact serialization contract, reference
+ * SubSampler.h:62).  Event arrays are record-major slices of a
+ * batched resolve fetch; per-record tails (the reference's
+ * end-of-sequence flush, SubSampler.cpp:441-454) are synthesized
+ * here: tail_last[r] < 0 means no selected tail. */
+void spsp_finish_spans_batch(void *hd, const uint8_t *ref_pool,
+                             const int64_t *ref_offs,
+                             const int64_t *ref_lens, int64_t n_rec,
+                             const int64_t *pos, const int64_t *last,
+                             const uint32_t *val, const uint8_t *rev,
+                             const int64_t *span_offs,
+                             const int64_t *tail_last,
+                             const uint32_t *tail_val,
+                             const uint8_t *tail_rev)
+{
+    Store *s = hd;
+    for (int64_t r = 0; r < n_rec; r++) {
+        const char *ref = (const char *)(ref_pool + ref_offs[r]);
+        int64_t a = span_offs[r], b = span_offs[r + 1];
+        if (b > a)
+            spsp_finish_spans(hd, ref, ref_lens[r], b - a, pos + a,
+                              last + a, val + a, rev + a);
+        if (tail_last[r] >= 0) {
+            int64_t tp = ref_lens[r] - s->k;
+            int64_t tl = tail_last[r];
+            spsp_finish_spans(hd, ref, ref_lens[r], 1, &tp, &tl,
+                              tail_val + r, tail_rev + r);
+        }
+    }
+}

@@ -72,8 +72,12 @@ int64_t spsp_clean_pack(const uint8_t *raw, int64_t n,
     memset(packed_out, 0, (halo + padded) >> 2);
     uint8_t *pk = packed_out + (halo >> 2);
     int64_t o = 0, i = 0;
-    /* SWAR helpers: per-byte 'all bytes equal one of ACGT' and the
-     * 2-bit pack, 8 input bytes -> 2 packed bytes per uint64. */
+    /* SWAR fast path at 8-byte granularity: validity first (per-byte
+     * 'equals one of ACGT' masks), then upper+pack — 8 input bytes ->
+     * 2 packed bytes per uint64. 8-byte units keep line-wrapped FASTA
+     * (60-80 col lines; a newline every ~70 bytes) mostly on the fast
+     * path: only the unit containing the newline (plus <=3 realign
+     * bytes) drops to the byte loop. */
     const uint64_t DF = 0xDFDFDFDFDFDFDFDFULL;
     const uint64_t LO = 0x0101010101010101ULL;
     const uint64_t HI = 0x8080808080808080ULL;
@@ -82,46 +86,39 @@ int64_t spsp_clean_pack(const uint8_t *raw, int64_t n,
     const uint64_t eG = 0x4747474747474747ULL;
     const uint64_t eT = 0x5454545454545454ULL;
     while (i < n) {
-        if (n - i >= 64 && (o & 3) == 0) {
-            const uint8_t *r = raw + i;
-            uint8_t *rr = ref_out + o;
-            uint8_t *pp = pk + (o >> 2);
-            uint64_t allhit = HI;
-            for (int j = 0; j < 8; j++) {
-                uint64_t x;
-                memcpy(&x, r + 8 * j, 8);
-                uint64_t u = x & DF;
-                /* per-byte match mask: 0x80 where byte == target */
-                uint64_t hz, hit = 0;
-                hz = u ^ eA; hit |= (hz - LO) & ~hz & HI;
-                hz = u ^ eC; hit |= (hz - LO) & ~hz & HI;
-                hz = u ^ eG; hit |= (hz - LO) & ~hz & HI;
-                hz = u ^ eT; hit |= (hz - LO) & ~hz & HI;
-                allhit &= hit;
-                memcpy(rr + 8 * j, &u, 8);
+        if (n - i >= 8 && (o & 3) == 0) {
+            uint64_t x;
+            memcpy(&x, raw + i, 8);
+            uint64_t u = x & DF;
+            uint64_t hz, hit = 0;
+            hz = u ^ eA; hit |= (hz - LO) & ~hz & HI;
+            hz = u ^ eC; hit |= (hz - LO) & ~hz & HI;
+            hz = u ^ eG; hit |= (hz - LO) & ~hz & HI;
+            hz = u ^ eT; hit |= (hz - LO) & ~hz & HI;
+            if (hit == HI) {
+                memcpy(ref_out + o, &u, 8);
                 /* 2-bit codes: (c>>1)&3 per byte; fold each 32-bit
                  * half's four codes into one output byte */
                 uint64_t c8 = (x >> 1) & 0x0303030303030303ULL;
                 uint64_t f = c8 | (c8 >> 6) | (c8 >> 12) | (c8 >> 18);
-                pp[2 * j] = (uint8_t)(f & 0xFF);
-                pp[2 * j + 1] = (uint8_t)((f >> 32) & 0xFF);
-            }
-            if (allhit == HI) {
-                o += 64;
-                i += 64;
+                pk[o >> 2] = (uint8_t)(f & 0xFF);
+                pk[(o >> 2) + 1] = (uint8_t)((f >> 32) & 0xFF);
+                o += 8;
+                i += 8;
                 continue;
             }
-            /* a non-ACGT byte in the chunk: discard the speculative
-             * stores (pk bytes are rewritten below via |=; they must
-             * be re-zeroed first) and recompact byte-by-byte */
-            memset(pp, 0, 16);
         }
-        /* slow path: one 64-byte stretch with a non-ACGT byte (or the
-         * tail / an unaligned o) compacted byte-by-byte */
-        int64_t stop = i + 64 < n ? i + 64 : n;
+        /* byte loop: a unit containing a non-ACGT byte, an unaligned
+         * o, or the tail; hands back to the fast path as soon as o
+         * re-aligns with a valid byte ahead (progress guaranteed: at
+         * least one byte is consumed or skipped before the break) */
+        int64_t stop = i + 8 < n ? i + 8 : n;
+        int64_t i0 = i;
         for (; i < stop; i++) {
             uint8_t c = raw[i];
             if (ok[c]) {
+                if ((o & 3) == 0 && i > i0)
+                    break;
                 ref_out[o] = (uint8_t)(c & 0xDF);
                 pk[o >> 2] |= (uint8_t)(((c >> 1) & 3) << ((o & 3) << 1));
                 o++;
@@ -156,4 +153,28 @@ void spsp_pack_halo(const uint8_t *codes, int64_t n, uint8_t *out,
         full++;
     }
     memset(p + full, 0, (padded >> 2) - full);
+}
+
+/* Batch variant: clean+pack every record of a chunk in ONE ctypes
+ * call (the per-call Python/ctypes overhead dominates reads-style
+ * corpora with tens of thousands of tiny records).  Each record r
+ * cleans data[starts[r]:ends[r]] into ref_pool+ref_offs[r] and packs
+ * (halo 0) into pack_pool+pack_offs[r] with padded[r] positions;
+ * cleaned lengths land in out_lens. */
+int64_t spsp_clean_pack(const uint8_t *raw, int64_t n,
+                        uint8_t *ref_out, uint8_t *packed_out,
+                        int64_t halo, int64_t padded);
+
+void spsp_clean_pack_batch(const uint8_t *data, const int64_t *starts,
+                           const int64_t *ends, int64_t n_rec,
+                           uint8_t *ref_pool, const int64_t *ref_offs,
+                           uint8_t *pack_pool, const int64_t *pack_offs,
+                           const int64_t *padded, int64_t *out_lens)
+{
+    for (int64_t r = 0; r < n_rec; r++)
+        out_lens[r] = spsp_clean_pack(data + starts[r],
+                                      ends[r] - starts[r],
+                                      ref_pool + ref_offs[r],
+                                      pack_pool + pack_offs[r],
+                                      0, padded[r]);
 }

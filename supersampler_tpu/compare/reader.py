@@ -86,6 +86,44 @@ def canonical_kmers(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
+def parse_bucket_at(data: bytes, pos: int, m: int):
+    """Parse ONE raw bucket at byte ``pos`` of a decompressed sketch
+    (wire format: m ASCII minimizer chars, u32 LE blob size, blob,
+    plaintext line pairs, blank-pair terminator — reference
+    SubSampler.cpp:456-504). Returns ((mval, blob, lines), end_pos).
+
+    Raises ValueError/struct.error/IndexError when ``data`` does not
+    contain the whole bucket — streaming callers extend their window
+    and retry; whole-file callers never hit it on a valid sketch."""
+    minstr = data[pos : pos + m]
+    if len(minstr) < m:
+        raise ValueError("short window")
+    pos += m
+    (size,) = struct.unpack_from("<I", data, pos)
+    pos += 4
+    blob = data[pos : pos + size]
+    if len(blob) < size:
+        raise ValueError("short window")
+    pos += size
+    lines: List[bytes] = []
+    while True:
+        nl1 = data.index(b"\n", pos)
+        l1 = data[pos:nl1]
+        pos = nl1 + 1
+        nl2 = data.index(b"\n", pos)
+        l2 = data[pos:nl2]
+        pos = nl2 + 1
+        if not l1 and not l2:
+            break
+        lines.append(l1)
+        lines.append(l2)
+    mcodes = NUC2INT_LUT[np.frombuffer(minstr, dtype=np.uint8)]
+    mval = 0
+    for c in mcodes:
+        mval = (mval << 2) | int(c)
+    return (mval, blob, lines), pos
+
+
 class SketchFile:
     """Parsed sketch: header + per-bucket raw payloads."""
 
@@ -104,55 +142,31 @@ class SketchFile:
     def iter_buckets(self) -> Iterator[Tuple[int, bytes, List[bytes]]]:
         """Yield (minimizer_value, blob_bytes, plaintext_lines) per bucket
         in file order (ascending minimizer)."""
-        data, m = self.data, self.m
         pos = self.pos0
-        n = len(data)
-        while pos + m <= n:
-            minstr = data[pos : pos + m]
-            pos += m
-            (size,) = struct.unpack_from("<I", data, pos)
-            pos += 4
-            blob = data[pos : pos + size]
-            pos += size
-            lines: List[bytes] = []
-            while True:
-                nl1 = data.index(b"\n", pos)
-                l1 = data[pos:nl1]
-                pos = nl1 + 1
-                nl2 = data.index(b"\n", pos)
-                l2 = data[pos:nl2]
-                pos = nl2 + 1
-                if not l1 and not l2:
-                    break
-                lines.append(l1)
-                lines.append(l2)
-            mcodes = NUC2INT_LUT[np.frombuffer(minstr, dtype=np.uint8)]
-            mval = 0
-            for c in mcodes:
-                mval = (mval << 2) | int(c)
-            yield mval, blob, lines
+        n = len(self.data)
+        while pos + self.m <= n:
+            bucket, pos = parse_bucket_at(self.data, pos, self.m)
+            yield bucket
 
 
-def decode_sketch_pairs(path: str):
-    """Decode a sketch to distinct (minimizer, kmer_hi, kmer_lo) arrays.
-
-    Returns (mins u64[], hi u64[], lo u64[], k, m, minimizer_set) where
-    arrays are deduplicated per (minimizer, kmer) as the reference's
+def decode_bucket_pairs(buckets, k: int, m: int):
+    """Vectorized decode of raw (mval, blob, lines) buckets ->
+    distinct (minimizer u64[], kmer_hi u64[], kmer_lo u64[]) pair
+    arrays, deduplicated per (minimizer, kmer) as the reference's
     per-bucket color/skip maps do (Comparator.cpp:97-264).
 
-    k-mer extraction is batched ACROSS buckets (all maximal super-k-mers
-    share one row length; plaintext ones group by length), so the
-    rolling-window cost is a handful of big numpy passes instead of
-    thousands of tiny per-bucket ones.
-    """
-    sk = SketchFile(path)
-    k, m = sk.k, sk.m
+    k-mer extraction is batched ACROSS buckets (all maximal
+    super-k-mers share one row length; plaintext ones group by
+    length), so the rolling-window cost is a handful of big numpy
+    passes instead of thousands of tiny per-bucket ones. Shared by
+    the whole-file decode below and the chunked streaming comparator
+    (compare/stream.py)."""
     half = k - m
     bucket_minimizers: List[int] = []
     max_rows: List[np.ndarray] = []
     max_bids: List[np.ndarray] = []
     plain = {}   # row length -> (bids list, rows list)
-    for bid, (mval, blob, lines) in enumerate(sk.iter_buckets()):
+    for bid, (mval, blob, lines) in enumerate(buckets):
         bucket_minimizers.append(mval)
         mcodes = np.empty(m, dtype=np.uint8)
         v = mval
@@ -199,7 +213,7 @@ def decode_sketch_pairs(path: str):
         los_l.append(lo.ravel())
     if not bid_l:
         z = np.zeros(0, dtype=U64)
-        return z, z.copy(), z.copy(), k, m, set(bucket_minimizers)
+        return z, z.copy(), z.copy()
 
     bids = np.concatenate(bid_l)
     his = np.concatenate(his_l)
@@ -212,4 +226,15 @@ def decode_sketch_pairs(path: str):
                 | (los[1:] != los[:-1]))
     bids, his, los = bids[keep], his[keep], los[keep]
     mins = np.asarray(bucket_minimizers, dtype=U64)[bids]
-    return mins, his, los, k, m, set(bucket_minimizers)
+    return mins, his, los
+
+
+def decode_sketch_pairs(path: str):
+    """Decode a whole sketch to distinct (minimizer, kmer_hi, kmer_lo)
+    arrays. Returns (mins u64[], hi u64[], lo u64[], k, m,
+    minimizer_set)."""
+    sk = SketchFile(path)
+    buckets = list(sk.iter_buckets())
+    mins, his, los = decode_bucket_pairs(buckets, sk.k, sk.m)
+    return (mins, his, los, sk.k, sk.m,
+            set(b[0] for b in buckets))

@@ -105,6 +105,15 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
         except AttributeError:
             pass
+        try:
+            lib.spsp_clean_pack_batch.argtypes = [
+                ctypes.c_void_p] + [ctypes.c_void_p] * 2 \
+                + [ctypes.c_int64] + [ctypes.c_void_p] * 6
+            lib.spsp_finish_spans_batch.argtypes = [
+                ctypes.c_void_p] + [ctypes.c_void_p] * 3 \
+                + [ctypes.c_int64] + [ctypes.c_void_p] * 8
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -139,6 +148,37 @@ class NativeFinisher:
         self._lib.spsp_finish_spans(
             self._h, ref_ptr, ref_len, len(pos), pos.ctypes.data,
             last.ctypes.data, val.ctypes.data, rev.ctypes.data)
+
+    def add_spans_batch(self, ref_pool, ref_offs, ref_lens, pos, last,
+                        val, rev, span_offs, tail_last, tail_val,
+                        tail_rev) -> None:
+        """Ingest a contiguous run of records in ONE C call (record
+        order preserved — the store's first-insertion order is part of
+        the byte-exact serialization contract). Arrays: ref_pool u8 +
+        per-record offsets/lengths i64; record-major event arrays with
+        span_offs (n_rec+1) boundaries; per-record tails (tail_last
+        < 0 = no selected tail)."""
+        import numpy as np
+
+        n_rec = len(ref_lens)
+        c = lambda a, dt: np.ascontiguousarray(a, dt)
+        ref_pool = c(ref_pool, np.uint8)
+        ref_offs = c(ref_offs, np.int64)
+        ref_lens = c(ref_lens, np.int64)
+        pos = c(pos, np.int64)
+        last = c(last, np.int64)
+        val = c(val, np.uint32)
+        rev = c(rev, np.uint8)
+        span_offs = c(span_offs, np.int64)
+        tail_last = c(tail_last, np.int64)
+        tail_val = c(tail_val, np.uint32)
+        tail_rev = c(tail_rev, np.uint8)
+        self._lib.spsp_finish_spans_batch(
+            self._h, ref_pool.ctypes.data, ref_offs.ctypes.data,
+            ref_lens.ctypes.data, n_rec, pos.ctypes.data,
+            last.ctypes.data, val.ctypes.data, rev.ctypes.data,
+            span_offs.ctypes.data, tail_last.ctypes.data,
+            tail_val.ctypes.data, tail_rev.ctypes.data)
 
     def serialize(self):
         """Returns (payload_bytes, counters[6]): seen_kmers,
@@ -207,6 +247,33 @@ def clean_pack_native(raw_view, padded: int, halo: int = 128):
     o = lib.spsp_clean_pack(raw_view.ctypes.data, n, ref.ctypes.data,
                             packed.ctypes.data, halo, padded)
     return ref[:o], packed, int(o)
+
+
+def clean_pack_batch_native(data_view, starts, ends, ref_pool,
+                            ref_offs, pack_pool, pack_offs, padded):
+    """One C call cleaning+packing every record of a chunk
+    (csrc/spsp_io.c spsp_clean_pack_batch). Returns out_lens i64[n]
+    or None if the library is unavailable. pack rows are written at
+    pack_pool + pack_offs[r] with padded[r] positions, halo 0."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "spsp_clean_pack_batch"):
+        return None
+    c = lambda a, dt: np.ascontiguousarray(a, dt)
+    data_view = c(data_view, np.uint8)
+    starts = c(starts, np.int64)
+    ends = c(ends, np.int64)
+    ref_offs = c(ref_offs, np.int64)
+    pack_offs = c(pack_offs, np.int64)
+    padded = c(padded, np.int64)
+    out_lens = np.empty(starts.size, np.int64)
+    lib.spsp_clean_pack_batch(
+        data_view.ctypes.data, starts.ctypes.data, ends.ctypes.data,
+        starts.size, ref_pool.ctypes.data, ref_offs.ctypes.data,
+        pack_pool.ctypes.data, pack_offs.ctypes.data,
+        padded.ctypes.data, out_lens.ctypes.data)
+    return out_lens
 
 
 def clean_codes_native(raw: bytes):

@@ -1021,6 +1021,23 @@ def resolve_field_batched(t: BatchedFieldTables, k: int, m: int,
         jax.lax.bitcast_convert_type(val, _I32), rev.astype(_I32)])
 
 
+def parse_batched_heads(arr: np.ndarray, cap: int, B_n: int):
+    """Zero-copy split of resolve_field_batched's fetch array:
+    (global_status, n_sel_total, heads (B_n, _BHEAD) i32, pos, last,
+    val u32, rev) — no per-record slicing (the batch-granular assembly
+    path slices runs itself). Truncation (n_total > cap) returns None
+    bodies; caller re-dispatches with a bigger cap."""
+    gstatus = int(arr[0])
+    n_total = int(arr[1])
+    heads = arr[2 : 2 + _BHEAD * B_n].reshape(B_n, _BHEAD)
+    if n_total > cap:
+        return gstatus, n_total, heads, None, None, None, None
+    body = arr[2 + _BHEAD * B_n:]
+    return (gstatus, n_total, heads, body[:cap], body[cap : 2 * cap],
+            body[2 * cap : 3 * cap].view(np.uint32),
+            body[3 * cap : 4 * cap])
+
+
 def parse_batched_array(arr: np.ndarray, cap: int, B_n: int):
     """Host-side split of resolve_field_batched's fetch array into
     (global_status, n_sel_total, per-record compact 9-tuples,

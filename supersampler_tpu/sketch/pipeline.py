@@ -656,25 +656,28 @@ class TpuSubsampler(OracleSubsampler):
         return own, max(1, -(-(n_raw - k) // own))
 
     def sketch_file(self, input_path: str):
-        """Chunked, batched record pipeline over one FASTA file.
+        """Chunked, batch-granular record pipeline over one FASTA file.
 
         Stages: main reads the file once and groups raw record spans
-        into chunks; a 2-worker prep pool runs the C single-pass clean
-        + 2-bit pack per chunk (csrc/spsp_io.c spsp_clean_pack; ctypes
-        releases the GIL); one launcher thread routes records by size
-        and dispatches device work in record order; main assembles in
-        record order into the C finisher (bucket first-insertion order
-        must follow record order for byte-exact serialization,
-        reference SubSampler.h:62).
+        into chunks; a 2-worker prep pool cleans + 2-bit packs each
+        chunk with ONE C call per short-record group
+        (spsp_clean_pack_batch) writing rows of the device batch
+        matrix directly; one launcher thread dispatches device work in
+        record order; main assembles in record order into the C
+        finisher — contiguous runs of batched records ingest with ONE
+        C call (spsp_finish_spans_batch) and vectorized counters, so
+        per-record Python work is O(1) dict bookkeeping only (bucket
+        first-insertion order must follow record order for byte-exact
+        serialization, reference SubSampler.h:62).
 
         Device-dispatch shapes are driven by one platform fact: every
         D2H transfer blocks the in-order device stream for a full link
         round-trip (~33 ms measured r4), so fetches are BATCHED:
 
           * short records (single tile <= _SHORT_MAX positions) pack
-            into per-bucket (B, P_rec/4) slabs resolved by ONE fused
-            scan_resolve_batch program with ONE fetch for the whole
-            batch — the many-short-record path (reference streams any
+            into per-bucket (B, P_rec/4) matrices resolved by ONE
+            fused scan_resolve_batch program with ONE fetch per group
+            — the many-short-record path (reference streams any
             record shape through one loop, SubSampler.cpp:334-347);
           * medium records (one tile each) dispatch individually but
             their compact arrays are STACKED on device and fetched
@@ -690,9 +693,10 @@ class TpuSubsampler(OracleSubsampler):
 
         from supersampler_tpu.core.scalar import MASK64
         from supersampler_tpu.io.fasta import clean_dna, read_fasta_spans
-        from supersampler_tpu.native import clean_pack_native
+        from supersampler_tpu.native import (clean_pack_batch_native,
+                                             clean_pack_native)
         from supersampler_tpu.ops.field import (field_entry_init,
-                                                parse_batched_array,
+                                                parse_batched_heads,
                                                 parse_field_array,
                                                 resolve_field,
                                                 scan_resolve_batch,
@@ -716,39 +720,68 @@ class TpuSubsampler(OracleSubsampler):
         select_all = self.s <= 1
         on_tpu = jax.default_backend() == "tpu"
         margin = 2 * (2 * k - m + 2) + 128
+        short_ok = self.scan_engine == "field"
 
-        # ---- prep: one C pass per record, chunked to amortize task
-        # overhead over thousands of tiny records ----
+        # ---- prep: per chunk, ONE C call per short group ----
         def prep_chunk(spans_chunk):
             with phase("prep"):
-                out = []
-                for s, e in spans_chunk:
+                routes = [None] * len(spans_chunk)
+                bygroup = {}          # own -> [(rec_idx, start, end)]
+                for i, (s, e) in enumerate(spans_chunk):
                     n_raw = e - s
-                    if n_raw + margin <= self._SHORT_MAX:
+                    if short_ok and n_raw + margin <= self._SHORT_MAX:
                         own = max(1024, padded_size(n_raw, margin))
-                        raw = np.frombuffer(data, np.uint8, n_raw, s)
-                        ref, row, L = clean_pack_native(raw, own, 0)
-                        out.append(None if L < k
-                                   else ("short", ref, row, L, own))
+                        bygroup.setdefault(own, []).append((i, s, e))
                         continue
                     plan = self._plan_geometry(n_raw)
                     if plan is None:
-                        out.append(("legacy", clean_dna(data[s:e])))
+                        routes[i] = ("legacy", clean_dna(data[s:e]))
                         continue
                     own, n_tiles = plan
                     raw = np.frombuffer(data, np.uint8, n_raw, s)
                     ref, slab, L = clean_pack_native(
                         raw, n_tiles * own + extra, 128)
                     if L < k:
-                        out.append(None)
+                        routes[i] = ("skip",)
                         continue
                     if n_tiles > 1:
                         n2 = max(1, -(-(L - k) // own))
                         if n2 < n_tiles:
                             slab = slab[: (128 + n2 * own + extra) >> 2]
                             n_tiles = n2
-                    out.append(("field", ref, slab, L, own, n_tiles))
-                return out
+                    routes[i] = ("field", ref, slab, L, own, n_tiles)
+
+                groups = []
+                for own, members in bygroup.items():
+                    R = len(members)
+                    R_pad = _pow2_ge(max(R, 8))
+                    starts = np.fromiter((s for _, s, _ in members),
+                                         np.int64, R)
+                    ends = np.fromiter((e for _, _, e in members),
+                                       np.int64, R)
+                    raw_lens = ends - starts
+                    ref_offs = np.zeros(R + 1, np.int64)
+                    np.cumsum(raw_lens, out=ref_offs[1:])
+                    ref_pool = np.empty(max(int(ref_offs[-1]), 1),
+                                        np.uint8)
+                    pack = np.zeros((R_pad, own >> 2), np.uint8)
+                    pack_offs = (np.arange(R, dtype=np.int64)
+                                 * (own >> 2))
+                    lens = clean_pack_batch_native(
+                        np.frombuffer(data, np.uint8), starts, ends,
+                        ref_pool, ref_offs[:R], pack, pack_offs,
+                        np.full(R, own, np.int64))
+                    lengths = np.zeros(R_pad, np.int32)
+                    lengths[:R] = np.where(lens >= k, lens, 0)
+                    gi = len(groups)
+                    groups.append({
+                        "own": own, "pack": pack, "lengths": lengths,
+                        "ref_pool": ref_pool, "ref_offs": ref_offs,
+                        "ref_lens": lens, "R": R})
+                    for slot, (i, _s, _e) in enumerate(members):
+                        routes[i] = (("skip",) if lengths[slot] == 0
+                                     else ("grp", gi, slot))
+                return routes, groups
 
         def dispatch_single(slab, L, own, cap):
             """One single-tile record's compact array: fused program on
@@ -769,7 +802,6 @@ class TpuSubsampler(OracleSubsampler):
         _FETCH_BYTES = 64 << 20
         batch = []            # medium records: [(rec, device arr), ...]
         batch_bytes = 0
-        sbatches = {}         # short records: own -> [(rec, row, L)]
 
         def timed_get(stacked):
             with phase("device+fetch"):
@@ -779,17 +811,21 @@ class TpuSubsampler(OracleSubsampler):
             nonlocal batch, batch_bytes
             if not batch:
                 return
-            items, batch, batch_bytes = batch, [], 0
+            items = list(batch)
             arrs = [a for _, a in items]
             stacked = arrs[0] if len(arrs) == 1 else _stack_arrs(arrs)
+            # clear only after the stack succeeded: a failure leaves
+            # the records in `batch` so the drain-side retry re-raises
+            # the real error on the main thread
+            batch, batch_bytes = [], 0
             try:
                 stacked.copy_to_host_async()
             except AttributeError:
                 pass
             fut = fetcher.submit(timed_get, stacked)
             for i, (rec, _) in enumerate(items):
-                rec["fut"] = fut
                 rec["slot"] = i if len(arrs) > 1 else None
+                rec["fut"] = fut
 
         def _short_cap(positions: int) -> int:
             if select_all:
@@ -797,63 +833,40 @@ class TpuSubsampler(OracleSubsampler):
             guess = int(self._batch_sel_rate * positions * 2)
             return _pow2_ge(max(4096, guess))
 
-        def flush_short(own):
-            items = sbatches.pop(own, None)
-            if not items:
-                return
-            B_n = _pow2_ge(max(len(items), 8))
-            packed = np.zeros((B_n, own >> 2), np.uint8)
-            lengths = np.zeros(B_n, np.int32)
-            for b, (rec, row, L) in enumerate(items):
-                packed[b] = row
-                lengths[b] = L
-            cap = _short_cap(B_n * own)
+        def dispatch_group(g):
+            own = g["own"]
+            cap = _short_cap(g["lengths"].size * own)
             arr = scan_resolve_batch(
-                jnp.asarray(packed), k, m, own, cap,
-                jnp.asarray(lengths), *thr_w)
+                jnp.asarray(g["pack"]), k, m, own, cap,
+                jnp.asarray(g["lengths"]), *thr_w)
             try:
                 arr.copy_to_host_async()
             except AttributeError:
                 pass
-            ctx = {"fut": fetcher.submit(timed_get, arr), "own": own,
-                   "cap": cap, "B": B_n, "packed": packed,
-                   "lengths": lengths}
-            for b, (rec, _row, _L) in enumerate(items):
-                rec["sctx"] = ctx
-                rec["bslot"] = b
+            g["cap"] = cap
+            g["fut"] = fetcher.submit(timed_get, arr)
 
-        def flush_all():
-            flush_batch()
-            for own in list(sbatches):
-                flush_short(own)
-
-        def launch_chunk(pfut, recs):
+        def launch_chunk(pfut, entry_):
             nonlocal batch_bytes
-            plist = pfut.result()
+            routes, groups = pfut.result()
+            entry_["routes"] = routes
+            entry_["groups"] = groups
+            recs = entry_["recs"]
             with phase("launch_scan"):
-                for p, rec in zip(plist, recs):
-                    if p is None:
-                        rec["skip"] = True
+                for g in groups:
+                    dispatch_group(g)
+                for i, p in enumerate(routes):
+                    if p is None or p[0] in ("skip", "grp"):
                         continue
+                    rec = recs[i]
                     if p[0] == "legacy":
                         ref = p[1]
                         if len(ref) < k:
-                            rec["skip"] = True
+                            routes[i] = ("skip",)
                             continue
                         self.read_kmer += len(ref) - k + 1
                         rec["ref"] = ref
                         rec["dc"] = self._launch_scan(ref)
-                        continue
-                    if p[0] == "short":
-                        _, ref, row, L, own = p
-                        self.read_kmer += L - k + 1
-                        rec["ref"] = ref
-                        sbatches.setdefault(own, []).append(
-                            (rec, row, L))
-                        blist = sbatches[own]
-                        if (len(blist) >= self._SHORT_BATCH_MAX
-                                or len(blist) * own >= (1 << 22)):
-                            flush_short(own)
                         continue
                     _, ref, slab, L, own, n_tiles = p
                     self.read_kmer += L - k + 1
@@ -870,6 +883,8 @@ class TpuSubsampler(OracleSubsampler):
                     cap = _pow2_ge(own if select_all
                                    else self._sel_cap_guess)
                     arr = dispatch_single(slab, L, own, cap)
+                    if batch and batch[0][1].size != arr.size:
+                        flush_batch()   # arrays only stack same-shaped
                     rec.update(slab=slab, L=L, own=own, cap=cap)
                     batch.append((rec, arr))
                     batch_bytes += arr.size * 4
@@ -877,41 +892,76 @@ class TpuSubsampler(OracleSubsampler):
                             or batch_bytes >= _FETCH_BYTES):
                         flush_batch()
 
-        def finish_short(rec):
-            """Assemble one short record from its batch's shared fetch;
-            the first record of the batch parses (and, on a capacity
-            miss, re-dispatches) for the whole group."""
-            ctx = rec["sctx"]
-            if "comps" not in ctx:
-                a = ctx["fut"].result()
-                cap = ctx["cap"]
-                g, n_total, comps, st_rec = parse_batched_array(
-                    a, cap, ctx["B"])
-                while comps is None:          # truncated: re-dispatch
-                    cap = _pow2_ge(n_total)
-                    arr = scan_resolve_batch(
-                        jnp.asarray(ctx["packed"]), k, m, ctx["own"],
-                        cap, jnp.asarray(ctx["lengths"]), *thr_w)
-                    a = jax.device_get(arr)
-                    g, n_total, comps, st_rec = parse_batched_array(
-                        a, cap, ctx["B"])
-                ctx["comps"], ctx["st"] = comps, st_rec
-                positions = ctx["B"] * ctx["own"]
-                if not select_all:
-                    self._batch_sel_rate = max(
-                        n_total / positions, 1e-6)
-            b = rec["bslot"]
-            if int(ctx["st"][b]) != 0:
-                # pathological record: exact walker path, standalone
-                dc = self._launch_scan(bytes(rec["ref"]))
-                self._assemble_from(rec["ref"], self._fetch(dc))
+        # ---- assembly ----
+        def resolve_group(g):
+            """Blocking: ensure the group's fetch is parsed (with cap
+            retries) into heads + record-major event arrays."""
+            if "heads" in g:
                 return
-            self._assemble_compact(rec["ref"], *ctx["comps"][b])
+            a = g["fut"].result()
+            cap = g["cap"]
+            B_n = g["lengths"].size
+            gst, n_total, heads, pos, last, val, rev = \
+                parse_batched_heads(a, cap, B_n)
+            while pos is None:        # truncated: re-dispatch
+                cap = _pow2_ge(n_total)
+                arr = scan_resolve_batch(
+                    jnp.asarray(g["pack"]), k, m, g["own"], cap,
+                    jnp.asarray(g["lengths"]), *thr_w)
+                a = jax.device_get(arr)
+                gst, n_total, heads, pos, last, val, rev = \
+                    parse_batched_heads(a, cap, B_n)
+            g["heads"] = heads
+            g["pos"], g["last"] = pos, last
+            g["val"], g["rev"] = val, rev
+            g["span_offs"] = np.zeros(B_n + 1, np.int64)
+            np.cumsum(heads[:, 1], out=g["span_offs"][1:])
+            positions = B_n * g["own"]
+            if not select_all:
+                self._batch_sel_rate = max(n_total / positions, 1e-6)
+
+        def ingest_run(g, a, b):
+            """Assemble group g's slots [a, b) — one C ingest + one
+            vectorized counter pass for the whole run."""
+            heads = g["heads"][a:b]
+            live = g["lengths"][a:b] > 0
+            lens = g["ref_lens"][a:b]
+            o = g["span_offs"]
+            s0, s1 = int(o[a]), int(o[b])
+            failed = heads[:, 0] != 0
+            if failed.any():
+                # pathological records: exact standalone fallback,
+                # order preserved by splitting the run at each failure
+                for j in range(a, b):
+                    if heads[j - a, 0] != 0:
+                        if j > a:
+                            ingest_run(g, a, j)
+                        ref = bytes(g["ref_pool"][
+                            g["ref_offs"][j] :
+                            g["ref_offs"][j] + g["ref_lens"][j]])
+                        self.read_kmer -= len(ref) - k + 1  # re-added
+                        dcf = self._launch_scan(ref)
+                        self.read_kmer += len(ref) - k + 1
+                        self._assemble_from(ref, self._fetch(dcf))
+                        if j + 1 < b:
+                            ingest_run(g, j + 1, b)
+                        return
+            self.read_kmer += int(np.sum(lens[live] - k + 1))
+            self._span_counters_run(lens, heads, g["pos"][s0:s1],
+                                    g["last"][s0:s1], o[a : b + 1] - s0)
+            tail_sel = heads[:, 6] != 0
+            tail_last = np.where(
+                tail_sel,
+                np.where(heads[:, 2] > 0, heads[:, 3] + 1, 0),
+                -1).astype(np.int64)
+            nf = self._nf()
+            nf.add_spans_batch(
+                g["ref_pool"], g["ref_offs"][a:b], lens,
+                g["pos"][s0:s1], g["last"][s0:s1], g["val"][s0:s1],
+                g["rev"][s0:s1], o[a : b + 1] - s0, tail_last,
+                heads[:, 4].view(np.uint32), heads[:, 5].astype(np.uint8))
 
         def finish_single(rec):
-            """Parse one medium record's host row; re-dispatch on a
-            capacity overflow, fall back to the exact walker path on a
-            resolution failure (status != 0)."""
             host = rec["fut"].result()
             a = host if rec["slot"] is None else host[rec["slot"]]
             cap, L, own = rec["cap"], rec["L"], rec["own"]
@@ -935,25 +985,46 @@ class TpuSubsampler(OracleSubsampler):
                 self._sel_cap_guess = max(4096, 2 * n_sel)
             self._assemble_compact(rec["ref"], *comp)
 
-        def drain_chunk(recs):
-            recs[0]["lfut"].result()
-            for rec in recs:
-                if rec.get("skip"):
-                    continue
-                with phase("assemble"):
+        def drain_chunk(entry_):
+            entry_["lfut"].result()
+            routes = entry_["routes"]
+            groups = entry_["groups"]
+            recs = entry_["recs"]
+            with phase("assemble"):
+                run = None          # (gi, slot_a, slot_b)
+                for i, p in enumerate(routes):
+                    if p is not None and p[0] == "grp":
+                        gi, slot = p[1], p[2]
+                        if run is not None and run[0] == gi \
+                                and run[2] == slot:
+                            run = (gi, run[1], slot + 1)
+                        else:
+                            if run is not None:
+                                resolve_group(groups[run[0]])
+                                ingest_run(groups[run[0]], run[1],
+                                           run[2])
+                            run = (gi, slot, slot + 1)
+                        continue
+                    if run is not None:
+                        resolve_group(groups[run[0]])
+                        ingest_run(groups[run[0]], run[1], run[2])
+                        run = None
+                    if p is None or p[0] == "skip":
+                        continue
+                    rec = recs[i]
                     if "dc" in rec:
                         self._assemble_from(rec["ref"],
                                             self._fetch(rec["dc"]))
                         continue
-                    if "fut" not in rec and "sctx" not in rec:
-                        # its batch hasn't flushed yet (tail records):
-                        # flush on the launcher thread (it owns the
-                        # batch state)
-                        launcher.submit(flush_all).result()
-                    if "sctx" in rec:
-                        finish_short(rec)
-                    else:
-                        finish_single(rec)
+                    if "fut" not in rec:
+                        launcher.submit(flush_batch).result()
+                        if "fut" not in rec:
+                            raise RuntimeError(
+                                "record missed its dispatch batch")
+                    finish_single(rec)
+                if run is not None:
+                    resolve_group(groups[run[0]])
+                    ingest_run(groups[run[0]], run[1], run[2])
 
         window = 4              # span chunks in flight
         pending = collections.deque()
@@ -963,13 +1034,13 @@ class TpuSubsampler(OracleSubsampler):
                 concurrent.futures.ThreadPoolExecutor(1) as launcher:
             with phase("parse"):
                 data, spans = read_fasta_spans(input_path)
-            # group spans into chunks of bounded raw bytes / count
+            # chunks of bounded raw bytes / record count
             chunks = []
             cur, cur_bytes = [], 0
             for span in spans:
                 cur.append(span)
                 cur_bytes += span[1] - span[0]
-                if cur_bytes >= (4 << 20) or len(cur) >= 1024:
+                if cur_bytes >= (4 << 20) or len(cur) >= 4096:
                     chunks.append(cur)
                     cur, cur_bytes = [], 0
             if cur:
@@ -977,19 +1048,63 @@ class TpuSubsampler(OracleSubsampler):
             for chunk in chunks:
                 if len(pending) >= window:
                     drain_chunk(pending.popleft())
-                recs = [{} for _ in chunk]
+                entry_ = {"recs": [{} for _ in chunk]}
                 pf = preppers.submit(prep_chunk, chunk)
-                lf = launcher.submit(launch_chunk, pf, recs)
-                for rec in recs:
-                    rec["lfut"] = lf
-                pending.append(recs)
-            launcher.submit(flush_all)
+                entry_["lfut"] = launcher.submit(launch_chunk, pf,
+                                                 entry_)
+                pending.append(entry_)
+            launcher.submit(flush_batch)
             while pending:
                 drain_chunk(pending.popleft())
         self.nb_mmer_selected = (self.nb_mmer_selected
                                  - (self.m - 1)) & MASK64
         with phase("serialize"):
             return self.serialize()
+
+    def _span_counters_run(self, lens, heads, pos, last, offs):
+        """Vectorized stats bookkeeping for a RUN of batched records
+        (the per-record scalar loop of _span_counters, computed across
+        the whole run's record-major event arrays; reference
+        accounting SubSampler.cpp:401-454 + 633-665)."""
+        k, m = self.k, self.m
+        n_rec = len(lens)
+        n_ev_r = heads[:, 2].astype(np.int64)
+        live = lens >= k
+        self.total_kmer_number += int(np.sum(lens[live] - k + 1))
+        self.total_superkmer_number += int(
+            np.sum(n_ev_r[live] + 1))
+        n = pos.size
+        if n:
+            counts = (offs[1:] - offs[:-1]).astype(np.int64)
+            first_idx = offs[:-1][counts > 0]
+            is_first = np.zeros(n, bool)
+            is_first[first_idx] = True
+            prev_pos = np.empty(n, np.int64)
+            prev_pos[0] = 0
+            prev_pos[1:] = pos[:-1]
+            pos_end_prev = np.where(is_first, 0, prev_pos + k - 1)
+            c1 = last + m - 2 > pos_end_prev
+            contrib = np.where(
+                c1,
+                np.where(pos_end_prev > 0, -(m - 1), 0)
+                + (pos + k - last) - (k - m),
+                pos + k - (pos_end_prev + 1))
+            self.nb_mmer_selected += int(contrib.sum())
+            slens = pos + k - last
+            self.selected_superkmer_number += n
+            self.selected_kmer_number += int((slens - k + 1).sum())
+            self.count_maximal_skmer += int(
+                (slens == 2 * k - m).sum())
+        tail_sel = heads[:, 6] != 0
+        if tail_sel.any():
+            t_last = np.where(heads[:, 2] > 0, heads[:, 3] + 1, 0)
+            tlen = (lens - t_last)[tail_sel]
+            cnt = int(tail_sel.sum())
+            self.nb_mmer_selected -= (m - 1) * cnt
+            self.selected_superkmer_number += cnt
+            self.selected_kmer_number += int((tlen - k + 1).sum())
+            self.count_maximal_skmer += int(
+                (tlen == 2 * k - m).sum())
 
     def _sketch_file_compat(self, input_path: str):
         """Like OracleSubsampler.sketch_file but keeps a small window of

@@ -54,6 +54,41 @@ def test_reads_corpus_matches_oracle(tmp_path, n, lo, hi, s):
         assert getattr(tpu, attr) == getattr(oracle, attr), attr
 
 
+def test_mixed_cap_medium_batch(tmp_path):
+    """Two medium contigs of different padded sizes under select_all
+    produce different per-record compact-array lengths; the fetch
+    batch must split instead of stacking mismatched shapes
+    (regression: jnp.stack crash, r4 review)."""
+    fa = tmp_path / "contigs.fa"
+    rng = random.Random(9)
+    with open(fa, "w") as f:
+        for i, L in enumerate((70000, 140000)):
+            f.write(f">c{i}\n"
+                    + "".join(rng.choice("ACGT") for _ in range(L))
+                    + "\n")
+    oracle = OracleSubsampler(k=31, m=11, s=1.0)
+    want = oracle.sketch_file(str(fa))
+    tpu = TpuSubsampler(k=31, m=11, s=1.0)
+    got = tpu.sketch_file(str(fa))
+    assert got == want
+
+
+def test_legacy_engine_knob_respected(tmp_path):
+    """scan_engine='legacy' must route even short records through the
+    walker path (regression: the short batch ignored the knob)."""
+    fa = tmp_path / "r.fa"
+    _write_reads(str(fa), random.Random(3), 40, 100, 400, messy=False)
+
+    class LegacySub(TpuSubsampler):
+        scan_engine = "legacy"
+
+    oracle = OracleSubsampler(k=31, m=11, s=2.0)
+    want = oracle.sketch_file(str(fa))
+    tpu = LegacySub(k=31, m=11, s=2.0)
+    got = tpu.sketch_file(str(fa))
+    assert got == want
+
+
 def test_reads_small_batch_flush(tmp_path):
     """Fewer records than a batch: the tail flush must cover them."""
     fa = tmp_path / "tiny.fa"

@@ -113,12 +113,16 @@ def test_mosaic_sweep_matches_xla_on_tpu():
         n_ev=jnp.zeros((n_blk,), jnp.int32))
     end = jnp.full((n_blk,), F._B, jnp.int32)
     capl = 16
+    lane_base = jnp.arange(n_blk, dtype=jnp.int32) * F._B
+    lastiv = jnp.broadcast_to(t.last_i, (n_blk,)).astype(jnp.int32)
     st_a, ev, pval, plast, isent = F._sweep(
-        tT, t.last_i, W, n_blk, zst, fs, end, has_sync, True, thi, tlo)
-    a = (st_a,) + F._lists_from_dense(ev, pval, plast, isent, n_blk,
-                                      capl)
-    b = F._sweep_pallas(tT, t.last_i, W, n_blk, zst, fs, end, has_sync,
-                        True, thi, tlo, capl, interpret=False)
+        tT, lane_base, lastiv, W, n_blk, zst, fs, end, has_sync, True,
+        thi, tlo)
+    a = (st_a,) + F._lists_from_dense(ev, pval, plast, isent,
+                                      lane_base, n_blk, capl)
+    b = F._sweep_pallas(tT, lane_base, lastiv, W, n_blk, zst, fs, end,
+                        has_sync, True, thi, tlo, capl,
+                        interpret=False)
     for f, (xa, ya) in enumerate(zip(a[0], b[0])):
         assert np.all(np.asarray(xa) == np.asarray(ya)), ("state", f)
     for i in range(1, 5):
