@@ -798,9 +798,14 @@ class TpuSubsampler(OracleSubsampler):
             return resolve_field(ft, k, m, cap, entry, *thr_w)
 
         # ---- launcher-thread state ----
+        # Medium records accumulate PREPPED (no device work) and flush
+        # as a unit: ONE grouped H2D for all slabs, then the fused
+        # computes, then ONE stacked D2H. Interleaving puts with
+        # computes stalls the in-order stream for a link round-trip
+        # per put (measured r4), so transfers and computes are phased.
         _FETCH_BATCH = 8
         _FETCH_BYTES = 64 << 20
-        batch = []            # medium records: [(rec, device arr), ...]
+        batch = []            # [(rec, slab, L, own), ...]
         batch_bytes = 0
 
         def timed_get(stacked):
@@ -812,9 +817,21 @@ class TpuSubsampler(OracleSubsampler):
             if not batch:
                 return
             items = list(batch)
-            arrs = [a for _, a in items]
-            stacked = arrs[0] if len(arrs) == 1 else _stack_arrs(arrs)
-            # clear only after the stack succeeded: a failure leaves
+            n_b = len(items)
+            cap = _pow2_ge(max(
+                items[0][3] if select_all else self._sel_cap_guess,
+                4096))
+            if n_b == 1:
+                rec, slab, L, own = items[0]
+                arr = dispatch_single(slab, L, own, cap)
+                arrs = [arr]
+            else:
+                big = np.stack([slab for _, slab, _, _ in items])
+                dev = jnp.asarray(big)      # ONE transfer for the batch
+                arrs = [dispatch_single(dev[i], L, own, cap)
+                        for i, (_, _, L, own) in enumerate(items)]
+            stacked = arrs[0] if n_b == 1 else _stack_arrs(arrs)
+            # clear only after dispatch succeeded: a failure leaves
             # the records in `batch` so the drain-side retry re-raises
             # the real error on the main thread
             batch, batch_bytes = [], 0
@@ -823,8 +840,9 @@ class TpuSubsampler(OracleSubsampler):
             except AttributeError:
                 pass
             fut = fetcher.submit(timed_get, stacked)
-            for i, (rec, _) in enumerate(items):
-                rec["slot"] = i if len(arrs) > 1 else None
+            for i, (rec, slab, L, own) in enumerate(items):
+                rec.update(slab=slab, L=L, own=own, cap=cap)
+                rec["slot"] = i if n_b > 1 else None
                 rec["fut"] = fut
 
         def _short_cap(positions: int) -> int:
@@ -880,14 +898,10 @@ class TpuSubsampler(OracleSubsampler):
                             kmer_cap_guess=self._kmer_cap_guess,
                             select_all=select_all, dedup=False)
                         continue
-                    cap = _pow2_ge(own if select_all
-                                   else self._sel_cap_guess)
-                    arr = dispatch_single(slab, L, own, cap)
-                    if batch and batch[0][1].size != arr.size:
-                        flush_batch()   # arrays only stack same-shaped
-                    rec.update(slab=slab, L=L, own=own, cap=cap)
-                    batch.append((rec, arr))
-                    batch_bytes += arr.size * 4
+                    if batch and batch[0][1].size != slab.size:
+                        flush_batch()   # slabs must stack same-shaped
+                    batch.append((rec, slab, L, own))
+                    batch_bytes += slab.size
                     if (len(batch) >= _FETCH_BATCH
                             or batch_bytes >= _FETCH_BYTES):
                         flush_batch()
