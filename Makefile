@@ -1,6 +1,6 @@
 # supersampler-tpu build / test / bench entry points.
 
-NATIVE_SRC := csrc/spsp_native.c
+NATIVE_SRC := csrc/spsp_native.c csrc/spsp_finish.c csrc/spsp_io.c
 NATIVE_LIB := build/libspsp_native.so
 CC ?= cc
 
@@ -12,7 +12,7 @@ native: $(NATIVE_LIB)
 
 $(NATIVE_LIB): $(NATIVE_SRC)
 	mkdir -p build
-	$(CC) -O2 -shared -fPIC -o $@ $< -lm
+	$(CC) -O3 -march=native -shared -fPIC -o $@ $(NATIVE_SRC) -lm
 
 test: native
 	python -m pytest tests/ -x -q

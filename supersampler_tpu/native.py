@@ -62,6 +62,18 @@ def get_lib():
             lib = ctypes.CDLL(_LIB)
         except OSError:
             return None
+        # A lib built without spsp_finish.c/spsp_io.c (e.g. by an old
+        # Makefile) would silently force the slow compat paths: rebuild
+        # once from the full source list rather than degrade.
+        if not hasattr(lib, "spsp_finish_new") and os.path.exists(
+                _SRC_FINISH):
+            del lib
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                return None
         lib.spsp_threshold.restype = ctypes.c_uint64
         lib.spsp_threshold.argtypes = [
             ctypes.c_uint64, ctypes.c_uint64, ctypes.c_double]
