@@ -78,33 +78,48 @@ def main(argv=None) -> int:
         if o["v"]:
             print_stat(ss, sys.stdout)
     else:
-        # Host-side thread fan-out feeding the single device (the
-        # reference farms fof entries to an OpenMP pool,
-        # SubSampler.cpp:771-798). Host work (FASTA parse/pack, sketch
-        # assembly, gzip) of file n+1 overlaps device work of file n;
-        # per-file output is buffered and emitted in fof order so runs
-        # are deterministic (a valid serialization of the reference's
-        # critical-section interleaving).
+        # ONE shared device pipeline across all fof entries
+        # (sketch_fof): record batches from different files share
+        # grouped H2D transfers, fused dispatches and stacked D2H
+        # fetches, amortizing the link round-trip the way the
+        # reference amortizes cores with its OpenMP fan-out
+        # (SubSampler.cpp:771-798). -t is accepted for flag parity;
+        # the shared pipeline sizes its own worker pools. Per-file
+        # output is buffered and emitted in fof order so runs are
+        # deterministic (a valid serialization of the reference's
+        # critical-section interleaving); gzip writes overlap the
+        # remaining device work on a small writer pool.
         entries = read_fof(o["f"], min_len=3)
         out_fof_name = get_out_name(o["f"], o["p"]) + ".txt"
+        from supersampler_tpu.io.gzip_exact import write_gzip_exact
+        from supersampler_tpu.sketch.pipeline import sketch_fof
 
-        def work(path):
-            buf = io.StringIO()
+        bufs = [io.StringIO() for _ in entries]
+        sss = []
+        for path, buf in zip(entries, bufs):
             print(path, file=buf)
             ss = TpuSubsampler(k=k, m=m, s=s, abundance=o["a"])
             ss.log = buf
-            subsample_file(ss, path, o["p"])
-            if o["v"]:
-                print_stat(ss, buf)
-            return buf.getvalue()
+            sss.append(ss)
+        out_paths = [get_out_name(p, o["p"]) + ".gz" for p in entries]
+        for ss, out_path in zip(sss, out_paths):
+            ss.subsampled_file = out_path
+        with ThreadPoolExecutor(2) as writers:
+            wfuts = []
 
-        n_threads = max(1, o["t"])
-        with ThreadPoolExecutor(n_threads) as pool:
-            futs = [(path, pool.submit(work, path)) for path in entries]
-            with open(out_fof_name, "w") as out_fof:
-                for path, fut in futs:
-                    out_fof.write(get_out_name(path, o["p"]) + ".gz\n")
-                    sys.stdout.write(fut.result())
+            def write_result(idx, raw):
+                wfuts.append(writers.submit(
+                    write_gzip_exact, out_paths[idx], raw, 9))
+
+            sketch_fof(list(zip(sss, entries)), on_result=write_result)
+            for fut in wfuts:
+                fut.result()
+        with open(out_fof_name, "w") as out_fof:
+            for path, ss, buf in zip(entries, sss, bufs):
+                out_fof.write(get_out_name(path, o["p"]) + ".gz\n")
+                if o["v"]:
+                    print_stat(ss, buf)
+                sys.stdout.write(buf.getvalue())
     return 0
 
 

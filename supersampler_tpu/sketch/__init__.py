@@ -1,4 +1,4 @@
-from supersampler_tpu.sketch.pipeline import TpuSubsampler
+from supersampler_tpu.sketch.pipeline import TpuSubsampler, sketch_fof
 from supersampler_tpu.sketch.stats import print_stat
 
 from supersampler_tpu.io.fasta import get_out_name
@@ -20,4 +20,5 @@ def subsample_file(ss, input_path: str, prefix: str) -> str:
     return out_path
 
 
-__all__ = ["TpuSubsampler", "print_stat", "subsample_file"]
+__all__ = ["TpuSubsampler", "print_stat", "sketch_fof",
+           "subsample_file"]

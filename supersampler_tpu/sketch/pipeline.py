@@ -656,424 +656,10 @@ class TpuSubsampler(OracleSubsampler):
         return own, max(1, -(-(n_raw - k) // own))
 
     def sketch_file(self, input_path: str):
-        """Chunked, batch-granular record pipeline over one FASTA file.
-
-        Stages: main reads the file once and groups raw record spans
-        into chunks; a 2-worker prep pool cleans + 2-bit packs each
-        chunk with ONE C call per short-record group
-        (spsp_clean_pack_batch) writing rows of the device batch
-        matrix directly; one launcher thread dispatches device work in
-        record order; main assembles in record order into the C
-        finisher — contiguous runs of batched records ingest with ONE
-        C call (spsp_finish_spans_batch) and vectorized counters, so
-        per-record Python work is O(1) dict bookkeeping only (bucket
-        first-insertion order must follow record order for byte-exact
-        serialization, reference SubSampler.h:62).
-
-        Device-dispatch shapes are driven by one platform fact: every
-        D2H transfer blocks the in-order device stream for a full link
-        round-trip (~33 ms measured r4), so fetches are BATCHED:
-
-          * short records (single tile <= _SHORT_MAX positions) pack
-            into per-bucket (B, P_rec/4) matrices resolved by ONE
-            fused scan_resolve_batch program with ONE fetch per group
-            — the many-short-record path (reference streams any
-            record shape through one loop, SubSampler.cpp:334-347);
-          * medium records (one tile each) dispatch individually but
-            their compact arrays are STACKED on device and fetched
-            with one transfer per _FETCH_BATCH records;
-          * long records (> 4 Mbp) stream through FieldChain tiles.
-
-        Requires the native library; environments without a toolchain
-        take _sketch_file_compat (the r3 path) instead."""
-        import collections
-        import concurrent.futures
-        import os
-        import sys
-
-        from supersampler_tpu.core.scalar import MASK64
-        from supersampler_tpu.io.fasta import clean_dna, read_fasta_spans
-        from supersampler_tpu.native import (clean_pack_batch_native,
-                                             clean_pack_native)
-        from supersampler_tpu.ops.field import (field_entry_init,
-                                                parse_batched_heads,
-                                                parse_field_array,
-                                                resolve_field,
-                                                scan_resolve_batch,
-                                                scan_resolve_single)
-        from supersampler_tpu.utils.profiling import device_trace, phase
-
-        k, m = self.k, self.m
-        if not os.path.exists(input_path):
-            log = self.log or sys.stdout
-            print("Problem with file opening", file=log)
-            print(f"Can't open file: {input_path}", file=log)
-            return None
-        if (self._dedup_on() or self._nf() is None
-                or clean_pack_native(np.zeros(0, np.uint8), 4, 4)
-                is None):
-            return self._sketch_file_compat(input_path)
-
-        thr = self.threshold
-        thr_w = (jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF))
-        extra = self._tile_extra
-        select_all = self.s <= 1
-        on_tpu = jax.default_backend() == "tpu"
-        margin = 2 * (2 * k - m + 2) + 128
-        short_ok = self.scan_engine == "field"
-
-        # ---- prep: per chunk, ONE C call per short group ----
-        def prep_chunk(spans_chunk):
-            with phase("prep"):
-                routes = [None] * len(spans_chunk)
-                bygroup = {}          # own -> [(rec_idx, start, end)]
-                for i, (s, e) in enumerate(spans_chunk):
-                    n_raw = e - s
-                    if short_ok and n_raw + margin <= self._SHORT_MAX:
-                        own = max(1024, padded_size(n_raw, margin))
-                        bygroup.setdefault(own, []).append((i, s, e))
-                        continue
-                    plan = self._plan_geometry(n_raw)
-                    if plan is None:
-                        routes[i] = ("legacy", clean_dna(data[s:e]))
-                        continue
-                    own, n_tiles = plan
-                    raw = np.frombuffer(data, np.uint8, n_raw, s)
-                    ref, slab, L = clean_pack_native(
-                        raw, n_tiles * own + extra, 128)
-                    if L < k:
-                        routes[i] = ("skip",)
-                        continue
-                    if n_tiles > 1:
-                        n2 = max(1, -(-(L - k) // own))
-                        if n2 < n_tiles:
-                            slab = slab[: (128 + n2 * own + extra) >> 2]
-                            n_tiles = n2
-                    routes[i] = ("field", ref, slab, L, own, n_tiles)
-
-                groups = []
-                for own, members in bygroup.items():
-                    R = len(members)
-                    R_pad = _pow2_ge(max(R, 8))
-                    starts = np.fromiter((s for _, s, _ in members),
-                                         np.int64, R)
-                    ends = np.fromiter((e for _, _, e in members),
-                                       np.int64, R)
-                    raw_lens = ends - starts
-                    ref_offs = np.zeros(R + 1, np.int64)
-                    np.cumsum(raw_lens, out=ref_offs[1:])
-                    ref_pool = np.empty(max(int(ref_offs[-1]), 1),
-                                        np.uint8)
-                    pack = np.zeros((R_pad, own >> 2), np.uint8)
-                    pack_offs = (np.arange(R, dtype=np.int64)
-                                 * (own >> 2))
-                    lens = clean_pack_batch_native(
-                        np.frombuffer(data, np.uint8), starts, ends,
-                        ref_pool, ref_offs[:R], pack, pack_offs,
-                        np.full(R, own, np.int64))
-                    lengths = np.zeros(R_pad, np.int32)
-                    lengths[:R] = np.where(lens >= k, lens, 0)
-                    gi = len(groups)
-                    groups.append({
-                        "own": own, "pack": pack, "lengths": lengths,
-                        "ref_pool": ref_pool, "ref_offs": ref_offs,
-                        "ref_lens": lens, "R": R})
-                    for slot, (i, _s, _e) in enumerate(members):
-                        routes[i] = (("skip",) if lengths[slot] == 0
-                                     else ("grp", gi, slot))
-                return routes, groups
-
-        def dispatch_single(slab, L, own, cap):
-            """One single-tile record's compact array: fused program on
-            TPU (one RPC), split dispatches on CPU (fused tracing is
-            compile-heavy on the CPU backend for no dispatch win)."""
-            P_t = own + extra
-            if on_tpu:
-                return scan_resolve_single(jnp.asarray(slab), k, m, P_t,
-                                           cap, jnp.int32(L), *thr_w)
-            ext = jnp.asarray(slab)
-            ft = device_scan_field_packed(ext[32:], k, m, P_t,
-                                          jnp.int32(L), True)
-            entry = field_entry_init(ft, *thr_w)
-            return resolve_field(ft, k, m, cap, entry, *thr_w)
-
-        # ---- launcher-thread state ----
-        # Medium records accumulate PREPPED (no device work) and flush
-        # as a unit: ONE grouped H2D for all slabs, then the fused
-        # computes, then ONE stacked D2H. Interleaving puts with
-        # computes stalls the in-order stream for a link round-trip
-        # per put (measured r4), so transfers and computes are phased.
-        _FETCH_BATCH = 8
-        _FETCH_BYTES = 64 << 20
-        batch = []            # [(rec, slab, L, own), ...]
-        batch_bytes = 0
-
-        def timed_get(stacked):
-            with phase("device+fetch"):
-                return jax.device_get(stacked)
-
-        def flush_batch():
-            nonlocal batch, batch_bytes
-            if not batch:
-                return
-            items = list(batch)
-            n_b = len(items)
-            cap = _pow2_ge(max(
-                items[0][3] if select_all else self._sel_cap_guess,
-                4096))
-            if n_b == 1:
-                rec, slab, L, own = items[0]
-                arr = dispatch_single(slab, L, own, cap)
-                arrs = [arr]
-            else:
-                big = np.stack([slab for _, slab, _, _ in items])
-                dev = jnp.asarray(big)      # ONE transfer for the batch
-                arrs = [dispatch_single(dev[i], L, own, cap)
-                        for i, (_, _, L, own) in enumerate(items)]
-            stacked = arrs[0] if n_b == 1 else _stack_arrs(arrs)
-            # clear only after dispatch succeeded: a failure leaves
-            # the records in `batch` so the drain-side retry re-raises
-            # the real error on the main thread
-            batch, batch_bytes = [], 0
-            try:
-                stacked.copy_to_host_async()
-            except AttributeError:
-                pass
-            fut = fetcher.submit(timed_get, stacked)
-            for i, (rec, slab, L, own) in enumerate(items):
-                rec.update(slab=slab, L=L, own=own, cap=cap)
-                rec["slot"] = i if n_b > 1 else None
-                rec["fut"] = fut
-
-        def _short_cap(positions: int) -> int:
-            if select_all:
-                return _pow2_ge(positions)
-            guess = int(self._batch_sel_rate * positions * 2)
-            return _pow2_ge(max(4096, guess))
-
-        def dispatch_group(g):
-            own = g["own"]
-            cap = _short_cap(g["lengths"].size * own)
-            arr = scan_resolve_batch(
-                jnp.asarray(g["pack"]), k, m, own, cap,
-                jnp.asarray(g["lengths"]), *thr_w)
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                pass
-            g["cap"] = cap
-            g["fut"] = fetcher.submit(timed_get, arr)
-
-        def launch_chunk(pfut, entry_):
-            nonlocal batch_bytes
-            routes, groups = pfut.result()
-            entry_["routes"] = routes
-            entry_["groups"] = groups
-            recs = entry_["recs"]
-            with phase("launch_scan"):
-                for g in groups:
-                    dispatch_group(g)
-                for i, p in enumerate(routes):
-                    if p is None or p[0] in ("skip", "grp"):
-                        continue
-                    rec = recs[i]
-                    if p[0] == "legacy":
-                        ref = p[1]
-                        if len(ref) < k:
-                            routes[i] = ("skip",)
-                            continue
-                        self.read_kmer += len(ref) - k + 1
-                        rec["ref"] = ref
-                        rec["dc"] = self._launch_scan(ref)
-                        continue
-                    _, ref, slab, L, own, n_tiles = p
-                    self.read_kmer += L - k + 1
-                    rec["ref"] = ref
-                    if n_tiles > 1:
-                        sel_guess = (own if select_all
-                                     else self._sel_cap_guess)
-                        rec["dc"] = FieldChain(
-                            slab, n_tiles, k, m, L, thr, own, extra,
-                            sel_cap_guess=sel_guess,
-                            kmer_cap_guess=self._kmer_cap_guess,
-                            select_all=select_all, dedup=False)
-                        continue
-                    if batch and batch[0][1].size != slab.size:
-                        flush_batch()   # slabs must stack same-shaped
-                    batch.append((rec, slab, L, own))
-                    batch_bytes += slab.size
-                    if (len(batch) >= _FETCH_BATCH
-                            or batch_bytes >= _FETCH_BYTES):
-                        flush_batch()
-
-        # ---- assembly ----
-        def resolve_group(g):
-            """Blocking: ensure the group's fetch is parsed (with cap
-            retries) into heads + record-major event arrays."""
-            if "heads" in g:
-                return
-            a = g["fut"].result()
-            cap = g["cap"]
-            B_n = g["lengths"].size
-            gst, n_total, heads, pos, last, val, rev = \
-                parse_batched_heads(a, cap, B_n)
-            while pos is None:        # truncated: re-dispatch
-                cap = _pow2_ge(n_total)
-                arr = scan_resolve_batch(
-                    jnp.asarray(g["pack"]), k, m, g["own"], cap,
-                    jnp.asarray(g["lengths"]), *thr_w)
-                a = jax.device_get(arr)
-                gst, n_total, heads, pos, last, val, rev = \
-                    parse_batched_heads(a, cap, B_n)
-            g["heads"] = heads
-            g["pos"], g["last"] = pos, last
-            g["val"], g["rev"] = val, rev
-            g["span_offs"] = np.zeros(B_n + 1, np.int64)
-            np.cumsum(heads[:, 1], out=g["span_offs"][1:])
-            positions = B_n * g["own"]
-            if not select_all:
-                self._batch_sel_rate = max(n_total / positions, 1e-6)
-
-        def ingest_run(g, a, b):
-            """Assemble group g's slots [a, b) — one C ingest + one
-            vectorized counter pass for the whole run."""
-            heads = g["heads"][a:b]
-            live = g["lengths"][a:b] > 0
-            lens = g["ref_lens"][a:b]
-            o = g["span_offs"]
-            s0, s1 = int(o[a]), int(o[b])
-            failed = heads[:, 0] != 0
-            if failed.any():
-                # pathological records: exact standalone fallback,
-                # order preserved by splitting the run at each failure
-                for j in range(a, b):
-                    if heads[j - a, 0] != 0:
-                        if j > a:
-                            ingest_run(g, a, j)
-                        ref = bytes(g["ref_pool"][
-                            g["ref_offs"][j] :
-                            g["ref_offs"][j] + g["ref_lens"][j]])
-                        self.read_kmer -= len(ref) - k + 1  # re-added
-                        dcf = self._launch_scan(ref)
-                        self.read_kmer += len(ref) - k + 1
-                        self._assemble_from(ref, self._fetch(dcf))
-                        if j + 1 < b:
-                            ingest_run(g, j + 1, b)
-                        return
-            self.read_kmer += int(np.sum(lens[live] - k + 1))
-            self._span_counters_run(lens, heads, g["pos"][s0:s1],
-                                    g["last"][s0:s1], o[a : b + 1] - s0)
-            tail_sel = heads[:, 6] != 0
-            tail_last = np.where(
-                tail_sel,
-                np.where(heads[:, 2] > 0, heads[:, 3] + 1, 0),
-                -1).astype(np.int64)
-            nf = self._nf()
-            nf.add_spans_batch(
-                g["ref_pool"], g["ref_offs"][a:b], lens,
-                g["pos"][s0:s1], g["last"][s0:s1], g["val"][s0:s1],
-                g["rev"][s0:s1], o[a : b + 1] - s0, tail_last,
-                heads[:, 4].view(np.uint32), heads[:, 5].astype(np.uint8))
-
-        def finish_single(rec):
-            host = rec["fut"].result()
-            a = host if rec["slot"] is None else host[rec["slot"]]
-            cap, L, own = rec["cap"], rec["L"], rec["own"]
-            n_sel = int(a[1])
-            while int(a[0]) == 0 and n_sel > cap:
-                cap = _pow2_ge(max(n_sel, 1))
-                arr = dispatch_single(rec["slab"], L, own, cap)
-                a = jax.device_get(arr)
-                n_sel = int(a[1])
-            if int(a[0]) != 0:
-                legacy = TiledDeviceChain(
-                    rec["slab"], 1, k, m, L, thr,
-                    sel_cap_guess=max(4096, cap),
-                    select_all=select_all, own=own, extra=extra,
-                    dedup=False)
-                comp = legacy.compact()
-                n_sel = legacy.n_sel
-            else:
-                _st, comp, n_sel = parse_field_array(a, cap)
-            if not select_all:
-                self._sel_cap_guess = max(4096, 2 * n_sel)
-            self._assemble_compact(rec["ref"], *comp)
-
-        def drain_chunk(entry_):
-            entry_["lfut"].result()
-            routes = entry_["routes"]
-            groups = entry_["groups"]
-            recs = entry_["recs"]
-            with phase("assemble"):
-                run = None          # (gi, slot_a, slot_b)
-                for i, p in enumerate(routes):
-                    if p is not None and p[0] == "grp":
-                        gi, slot = p[1], p[2]
-                        if run is not None and run[0] == gi \
-                                and run[2] == slot:
-                            run = (gi, run[1], slot + 1)
-                        else:
-                            if run is not None:
-                                resolve_group(groups[run[0]])
-                                ingest_run(groups[run[0]], run[1],
-                                           run[2])
-                            run = (gi, slot, slot + 1)
-                        continue
-                    if run is not None:
-                        resolve_group(groups[run[0]])
-                        ingest_run(groups[run[0]], run[1], run[2])
-                        run = None
-                    if p is None or p[0] == "skip":
-                        continue
-                    rec = recs[i]
-                    if "dc" in rec:
-                        self._assemble_from(rec["ref"],
-                                            self._fetch(rec["dc"]))
-                        continue
-                    if "fut" not in rec:
-                        launcher.submit(flush_batch).result()
-                        if "fut" not in rec:
-                            raise RuntimeError(
-                                "record missed its dispatch batch")
-                    finish_single(rec)
-                if run is not None:
-                    resolve_group(groups[run[0]])
-                    ingest_run(groups[run[0]], run[1], run[2])
-
-        window = 4              # span chunks in flight
-        pending = collections.deque()
-        with device_trace("sketch_file"), \
-                concurrent.futures.ThreadPoolExecutor(2) as preppers, \
-                concurrent.futures.ThreadPoolExecutor(1) as fetcher, \
-                concurrent.futures.ThreadPoolExecutor(1) as launcher:
-            with phase("parse"):
-                data, spans = read_fasta_spans(input_path)
-            # chunks of bounded raw bytes / record count
-            chunks = []
-            cur, cur_bytes = [], 0
-            for span in spans:
-                cur.append(span)
-                cur_bytes += span[1] - span[0]
-                if cur_bytes >= (4 << 20) or len(cur) >= 4096:
-                    chunks.append(cur)
-                    cur, cur_bytes = [], 0
-            if cur:
-                chunks.append(cur)
-            for chunk in chunks:
-                if len(pending) >= window:
-                    drain_chunk(pending.popleft())
-                entry_ = {"recs": [{} for _ in chunk]}
-                pf = preppers.submit(prep_chunk, chunk)
-                entry_["lfut"] = launcher.submit(launch_chunk, pf,
-                                                 entry_)
-                pending.append(entry_)
-            launcher.submit(flush_batch)
-            while pending:
-                drain_chunk(pending.popleft())
-        self.nb_mmer_selected = (self.nb_mmer_selected
-                                 - (self.m - 1)) & MASK64
-        with phase("serialize"):
-            return self.serialize()
+        """Chunked, batch-granular record pipeline over one FASTA file
+        — a one-member shared run (see _SharedSketchRun / sketch_fof,
+        which batch device work ACROSS files in fof mode)."""
+        return sketch_fof([(self, input_path)])[0]
 
     def _span_counters_run(self, lens, heads, pos, last, offs):
         """Vectorized stats bookkeeping for a RUN of batched records
@@ -1388,3 +974,551 @@ class TpuSubsampler(OracleSubsampler):
                     ref[last_position : i + k], t_val, t_rev)
             self.total_kmer_number += i - last_position + 1
             self.total_superkmer_number += 1
+
+
+class _SharedSketchRun:
+    """Shared multi-file sketch pipeline (fof mode).
+
+    ONE prep pool / launcher thread / fetcher thread serves record
+    batches from ALL files, so the platform's scarce quantity — the
+    ~33 ms link round-trip that every D2H (and put-while-busy H2D)
+    costs — is amortized across the whole fof corpus instead of being
+    paid per file: medium records from different files stack into the
+    same grouped H2D + fused dispatches + ONE stacked D2H fetch, and
+    per-file host work (parse, clean+pack, assemble, serialize)
+    overlaps other files' device work.  The reference fans fof entries
+    to an OpenMP pool where each thread owns its file end to end
+    (SubSampler.cpp:771-798); here the device is one shared in-order
+    resource, so the sharing must happen at the batch level instead.
+
+    Stages (same machine as the r4 single-file pipeline, generalized):
+    per file, the reader thread loads raw bytes and spans records; a
+    2-worker prep pool cleans + 2-bit packs each chunk with ONE C call
+    per short-record group (spsp_clean_pack_batch) writing rows of the
+    device batch matrix directly; one launcher thread dispatches
+    device work in global (file-major, record-ordered) order, batching
+    medium records ACROSS chunk and file boundaries; the main thread
+    assembles in the same global order into each file's own C
+    finisher, so bucket first-insertion order follows record order per
+    file (byte-exact serialization, reference SubSampler.h:62).  A
+    file serializes as soon as its last chunk drains, overlapping the
+    next file's device work.
+
+    Correctness invariants:
+      * every member shares identical sketch parameters (sketch_fof
+        groups mixed-parameter items into separate runs);
+      * records of one file assemble in record order into that file's
+        finisher; files finalize in fof order;
+      * speculative capacities (sel/kmer caps, batch selection rate)
+        live on the run and are written back to each member at the
+        end, so single-file behavior is unchanged.
+    """
+
+    _FETCH_BATCH = 8
+    _FETCH_BYTES = 64 << 20
+    _CHUNK_BYTES = 4 << 20
+    _CHUNK_RECS = 4096
+
+    def __init__(self, items, on_result=None):
+        self.on_result = on_result      # callback(member_idx, raw)
+        self.items = list(items)        # [(ss, path)] — same params
+        ss0 = self.items[0][0]
+        self.ss0 = ss0
+        self.k, self.m = ss0.k, ss0.m
+        thr = ss0.threshold
+        self.thr = thr
+        self.thr_w = (jnp.uint32(thr >> 32), jnp.uint32(thr & 0xFFFFFFFF))
+        self.extra = ss0._tile_extra
+        self.select_all = ss0.s <= 1
+        self.on_tpu = jax.default_backend() == "tpu"
+        self.margin = 2 * (2 * self.k - self.m + 2) + 128
+        self.short_ok = ss0.scan_engine == "field"
+        self.sel_guess = ss0._sel_cap_guess
+        self.kmer_guess = ss0._kmer_cap_guess
+        self.rate = ss0._batch_sel_rate
+        self.window = 4 if len(self.items) == 1 else 16
+        self.batch = []                 # [(rec, slab, L, own), ...]
+        self.batch_bytes = 0
+
+    # ---- prep: per chunk, ONE C call per short group ----
+    def _prep_chunk(self, ss, data, spans_chunk):
+        from supersampler_tpu.io.fasta import clean_dna
+        from supersampler_tpu.native import (clean_pack_batch_native,
+                                             clean_pack_native)
+        from supersampler_tpu.utils.profiling import phase
+
+        k = self.k
+        extra = self.extra
+        with phase("prep"):
+            routes = [None] * len(spans_chunk)
+            bygroup = {}          # own -> [(rec_idx, start, end)]
+            for i, (s, e) in enumerate(spans_chunk):
+                n_raw = e - s
+                if (self.short_ok
+                        and n_raw + self.margin <= ss._SHORT_MAX):
+                    own = max(1024, padded_size(n_raw, self.margin))
+                    bygroup.setdefault(own, []).append((i, s, e))
+                    continue
+                plan = ss._plan_geometry(n_raw)
+                if plan is None:
+                    routes[i] = ("legacy", clean_dna(data[s:e]))
+                    continue
+                own, n_tiles = plan
+                raw = np.frombuffer(data, np.uint8, n_raw, s)
+                ref, slab, L = clean_pack_native(
+                    raw, n_tiles * own + extra, 128)
+                if L < k:
+                    routes[i] = ("skip",)
+                    continue
+                if n_tiles > 1:
+                    n2 = max(1, -(-(L - k) // own))
+                    if n2 < n_tiles:
+                        slab = slab[: (128 + n2 * own + extra) >> 2]
+                        n_tiles = n2
+                routes[i] = ("field", ref, slab, L, own, n_tiles)
+
+            groups = []
+            for own, members in bygroup.items():
+                R = len(members)
+                R_pad = _pow2_ge(max(R, 8))
+                starts = np.fromiter((s for _, s, _ in members),
+                                     np.int64, R)
+                ends = np.fromiter((e for _, _, e in members),
+                                   np.int64, R)
+                raw_lens = ends - starts
+                ref_offs = np.zeros(R + 1, np.int64)
+                np.cumsum(raw_lens, out=ref_offs[1:])
+                ref_pool = np.empty(max(int(ref_offs[-1]), 1),
+                                    np.uint8)
+                pack = np.zeros((R_pad, own >> 2), np.uint8)
+                pack_offs = (np.arange(R, dtype=np.int64)
+                             * (own >> 2))
+                lens = clean_pack_batch_native(
+                    np.frombuffer(data, np.uint8), starts, ends,
+                    ref_pool, ref_offs[:R], pack, pack_offs,
+                    np.full(R, own, np.int64))
+                lengths = np.zeros(R_pad, np.int32)
+                lengths[:R] = np.where(lens >= k, lens, 0)
+                gi = len(groups)
+                groups.append({
+                    "ss": ss, "own": own, "pack": pack,
+                    "lengths": lengths, "ref_pool": ref_pool,
+                    "ref_offs": ref_offs, "ref_lens": lens, "R": R})
+                for slot, (i, _s, _e) in enumerate(members):
+                    routes[i] = (("skip",) if lengths[slot] == 0
+                                 else ("grp", gi, slot))
+            return routes, groups
+
+    def _dispatch_single(self, slab, L, own, cap):
+        """One single-tile record's compact array: fused program on
+        TPU (one RPC), split dispatches on CPU (fused tracing is
+        compile-heavy on the CPU backend for no dispatch win)."""
+        from supersampler_tpu.ops.field import (field_entry_init,
+                                                resolve_field,
+                                                scan_resolve_single)
+
+        k, m = self.k, self.m
+        P_t = own + self.extra
+        if self.on_tpu:
+            return scan_resolve_single(jnp.asarray(slab), k, m, P_t,
+                                       cap, jnp.int32(L), *self.thr_w)
+        ext = jnp.asarray(slab)
+        ft = device_scan_field_packed(ext[32:], k, m, P_t,
+                                      jnp.int32(L), True)
+        entry = field_entry_init(ft, *self.thr_w)
+        return resolve_field(ft, k, m, cap, entry, *self.thr_w)
+
+    # ---- launcher-thread state ----
+    # Medium records accumulate PREPPED (no device work) and flush as
+    # a unit: ONE grouped H2D for all slabs — across chunk AND file
+    # boundaries — then the fused computes, then ONE stacked D2H.
+    # Interleaving puts with computes stalls the in-order stream for a
+    # link round-trip per put (measured r4), so transfers and computes
+    # are phased.
+    def _timed_get(self, stacked):
+        from supersampler_tpu.utils.profiling import phase
+
+        with phase("device+fetch"):
+            return jax.device_get(stacked)
+
+    def _flush_batch(self):
+        if not self.batch:
+            return
+        items = list(self.batch)
+        n_b = len(items)
+        cap = _pow2_ge(max(
+            items[0][3] if self.select_all else self.sel_guess,
+            4096))
+        if n_b == 1:
+            rec, slab, L, own = items[0]
+            arr = self._dispatch_single(slab, L, own, cap)
+            arrs = [arr]
+        else:
+            big = np.stack([slab for _, slab, _, _ in items])
+            dev = jnp.asarray(big)      # ONE transfer for the batch
+            arrs = [self._dispatch_single(dev[i], L, own, cap)
+                    for i, (_, _, L, own) in enumerate(items)]
+        stacked = arrs[0] if n_b == 1 else _stack_arrs(arrs)
+        # clear only after dispatch succeeded: a failure leaves the
+        # records in `batch` so the drain-side retry re-raises the
+        # real error on the main thread
+        self.batch, self.batch_bytes = [], 0
+        try:
+            stacked.copy_to_host_async()
+        except AttributeError:
+            pass
+        fut = self.fetcher.submit(self._timed_get, stacked)
+        for i, (rec, slab, L, own) in enumerate(items):
+            rec.update(slab=slab, L=L, own=own, cap=cap)
+            rec["slot"] = i if n_b > 1 else None
+            rec["fut"] = fut
+
+    def _short_cap(self, positions: int) -> int:
+        if self.select_all:
+            return _pow2_ge(positions)
+        guess = int(self.rate * positions * 2)
+        return _pow2_ge(max(4096, guess))
+
+    def _dispatch_group(self, g):
+        from supersampler_tpu.ops.field import scan_resolve_batch
+
+        own = g["own"]
+        cap = self._short_cap(g["lengths"].size * own)
+        arr = scan_resolve_batch(
+            jnp.asarray(g["pack"]), self.k, self.m, own, cap,
+            jnp.asarray(g["lengths"]), *self.thr_w)
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:
+            pass
+        g["cap"] = cap
+        g["fut"] = self.fetcher.submit(self._timed_get, arr)
+
+    def _launch_chunk(self, pfut, entry_):
+        from supersampler_tpu.utils.profiling import phase
+
+        routes, groups = pfut.result()
+        entry_["routes"] = routes
+        entry_["groups"] = groups
+        recs = entry_["recs"]
+        ss = entry_["ss"]
+        k, m = self.k, self.m
+        with phase("launch_scan"):
+            for g in groups:
+                self._dispatch_group(g)
+            for i, p in enumerate(routes):
+                if p is None or p[0] in ("skip", "grp"):
+                    continue
+                rec = recs[i]
+                rec["ss"] = ss
+                if p[0] == "legacy":
+                    ref = p[1]
+                    if len(ref) < k:
+                        routes[i] = ("skip",)
+                        continue
+                    ss.read_kmer += len(ref) - k + 1
+                    rec["ref"] = ref
+                    rec["dc"] = ss._launch_scan(ref)
+                    continue
+                _, ref, slab, L, own, n_tiles = p
+                ss.read_kmer += L - k + 1
+                rec["ref"] = ref
+                if n_tiles > 1:
+                    sel_guess = (own if self.select_all
+                                 else self.sel_guess)
+                    rec["dc"] = FieldChain(
+                        slab, n_tiles, k, m, L, self.thr, own,
+                        self.extra, sel_cap_guess=sel_guess,
+                        kmer_cap_guess=self.kmer_guess,
+                        select_all=self.select_all, dedup=False)
+                    continue
+                if self.batch and self.batch[0][1].size != slab.size:
+                    self._flush_batch()  # slabs must stack same-shaped
+                self.batch.append((rec, slab, L, own))
+                self.batch_bytes += slab.size
+                if (len(self.batch) >= self._FETCH_BATCH
+                        or self.batch_bytes >= self._FETCH_BYTES):
+                    self._flush_batch()
+
+    # ---- assembly ----
+    def _resolve_group(self, g):
+        """Blocking: ensure the group's fetch is parsed (with cap
+        retries) into heads + record-major event arrays."""
+        from supersampler_tpu.ops.field import (parse_batched_heads,
+                                                scan_resolve_batch)
+
+        if "heads" in g:
+            return
+        a = g["fut"].result()
+        cap = g["cap"]
+        B_n = g["lengths"].size
+        gst, n_total, heads, pos, last, val, rev = \
+            parse_batched_heads(a, cap, B_n)
+        while pos is None:        # truncated: re-dispatch
+            cap = _pow2_ge(n_total)
+            arr = scan_resolve_batch(
+                jnp.asarray(g["pack"]), self.k, self.m, g["own"], cap,
+                jnp.asarray(g["lengths"]), *self.thr_w)
+            a = jax.device_get(arr)
+            gst, n_total, heads, pos, last, val, rev = \
+                parse_batched_heads(a, cap, B_n)
+        g["heads"] = heads
+        g["pos"], g["last"] = pos, last
+        g["val"], g["rev"] = val, rev
+        g["span_offs"] = np.zeros(B_n + 1, np.int64)
+        np.cumsum(heads[:, 1], out=g["span_offs"][1:])
+        positions = B_n * g["own"]
+        if not self.select_all:
+            self.rate = max(n_total / positions, 1e-6)
+
+    def _ingest_run(self, g, a, b):
+        """Assemble group g's slots [a, b) — one C ingest + one
+        vectorized counter pass for the whole run."""
+        ss = g["ss"]
+        k = self.k
+        heads = g["heads"][a:b]
+        live = g["lengths"][a:b] > 0
+        lens = g["ref_lens"][a:b]
+        o = g["span_offs"]
+        s0, s1 = int(o[a]), int(o[b])
+        failed = heads[:, 0] != 0
+        if failed.any():
+            # pathological records: exact standalone fallback, order
+            # preserved by splitting the run at each failure
+            for j in range(a, b):
+                if heads[j - a, 0] != 0:
+                    if j > a:
+                        self._ingest_run(g, a, j)
+                    ref = bytes(g["ref_pool"][
+                        g["ref_offs"][j] :
+                        g["ref_offs"][j] + g["ref_lens"][j]])
+                    dcf = ss._launch_scan(ref)
+                    ss.read_kmer += len(ref) - k + 1
+                    ss._assemble_from(ref, TpuSubsampler._fetch(dcf))
+                    if j + 1 < b:
+                        self._ingest_run(g, j + 1, b)
+                    return
+        ss.read_kmer += int(np.sum(lens[live] - k + 1))
+        ss._span_counters_run(lens, heads, g["pos"][s0:s1],
+                              g["last"][s0:s1], o[a : b + 1] - s0)
+        tail_sel = heads[:, 6] != 0
+        tail_last = np.where(
+            tail_sel,
+            np.where(heads[:, 2] > 0, heads[:, 3] + 1, 0),
+            -1).astype(np.int64)
+        nf = ss._nf()
+        nf.add_spans_batch(
+            g["ref_pool"], g["ref_offs"][a:b], lens,
+            g["pos"][s0:s1], g["last"][s0:s1], g["val"][s0:s1],
+            g["rev"][s0:s1], o[a : b + 1] - s0, tail_last,
+            heads[:, 4].view(np.uint32), heads[:, 5].astype(np.uint8))
+
+    def _finish_single(self, rec):
+        from supersampler_tpu.ops.field import parse_field_array
+
+        ss = rec["ss"]
+        host = rec["fut"].result()
+        a = host if rec["slot"] is None else host[rec["slot"]]
+        cap, L, own = rec["cap"], rec["L"], rec["own"]
+        n_sel = int(a[1])
+        while int(a[0]) == 0 and n_sel > cap:
+            cap = _pow2_ge(max(n_sel, 1))
+            arr = self._dispatch_single(rec["slab"], L, own, cap)
+            a = jax.device_get(arr)
+            n_sel = int(a[1])
+        if int(a[0]) != 0:
+            legacy = TiledDeviceChain(
+                rec["slab"], 1, self.k, self.m, L, self.thr,
+                sel_cap_guess=max(4096, cap),
+                select_all=self.select_all, own=own, extra=self.extra,
+                dedup=False)
+            comp = legacy.compact()
+            n_sel = legacy.n_sel
+        else:
+            _st, comp, n_sel = parse_field_array(a, cap)
+        if not self.select_all:
+            self.sel_guess = max(4096, 2 * n_sel)
+        ss._assemble_compact(rec["ref"], *comp)
+
+    def _drain_chunk(self, entry_):
+        from supersampler_tpu.utils.profiling import phase
+
+        entry_["lfut"].result()
+        routes = entry_["routes"]
+        groups = entry_["groups"]
+        recs = entry_["recs"]
+        ss = entry_["ss"]
+        with phase("assemble"):
+            run = None          # (gi, slot_a, slot_b)
+            for i, p in enumerate(routes):
+                if p is not None and p[0] == "grp":
+                    gi, slot = p[1], p[2]
+                    if run is not None and run[0] == gi \
+                            and run[2] == slot:
+                        run = (gi, run[1], slot + 1)
+                    else:
+                        if run is not None:
+                            self._resolve_group(groups[run[0]])
+                            self._ingest_run(groups[run[0]], run[1],
+                                             run[2])
+                        run = (gi, slot, slot + 1)
+                    continue
+                if run is not None:
+                    self._resolve_group(groups[run[0]])
+                    self._ingest_run(groups[run[0]], run[1], run[2])
+                    run = None
+                if p is None or p[0] == "skip":
+                    continue
+                rec = recs[i]
+                if "dc" in rec:
+                    ss._assemble_from(rec["ref"],
+                                      TpuSubsampler._fetch(rec["dc"]))
+                    continue
+                if "fut" not in rec:
+                    self.launcher.submit(self._flush_batch).result()
+                    if "fut" not in rec:
+                        raise RuntimeError(
+                            "record missed its dispatch batch")
+                self._finish_single(rec)
+            if run is not None:
+                self._resolve_group(groups[run[0]])
+                self._ingest_run(groups[run[0]], run[1], run[2])
+
+    def _finalize_file(self, fi, results):
+        from supersampler_tpu.core.scalar import MASK64
+        from supersampler_tpu.utils.profiling import phase
+
+        ss = self.items[fi][0]
+        ss.nb_mmer_selected = (ss.nb_mmer_selected
+                               - (self.m - 1)) & MASK64
+        with phase("serialize"):
+            results[fi] = ss.serialize()
+        if self.on_result is not None:
+            self.on_result(fi, results[fi])
+
+    def run(self):
+        import collections
+        import concurrent.futures
+
+        from supersampler_tpu.io.fasta import read_fasta_spans
+        from supersampler_tpu.utils.profiling import device_trace, phase
+
+        results = [None] * len(self.items)
+        pending = collections.deque()     # chunk entries, global order
+        left = [0] * len(self.items)      # undrained chunks per file
+
+        def drain_one():
+            entry_ = pending.popleft()
+            fi = entry_["fi"]
+            self._drain_chunk(entry_)
+            left[fi] -= 1
+            if left[fi] == 0:
+                self._finalize_file(fi, results)
+
+        with device_trace("sketch_fof"), \
+                concurrent.futures.ThreadPoolExecutor(2) as preppers, \
+                concurrent.futures.ThreadPoolExecutor(1) as fetcher, \
+                concurrent.futures.ThreadPoolExecutor(1) as launcher, \
+                concurrent.futures.ThreadPoolExecutor(1) as reader:
+            self.fetcher = fetcher
+            self.launcher = launcher
+            n_files = len(self.items)
+            read_futs: dict = {}
+
+            def ensure_reads(upto):
+                for j in range(upto, min(upto + 2, n_files)):
+                    if j not in read_futs:
+                        read_futs[j] = reader.submit(
+                            read_fasta_spans, self.items[j][1])
+
+            for fi, (ss, path) in enumerate(self.items):
+                ensure_reads(fi)
+                with phase("parse"):
+                    data, spans = read_futs.pop(fi).result()
+                ensure_reads(fi + 1)
+                chunks = []
+                cur, cur_bytes = [], 0
+                for span in spans:
+                    cur.append(span)
+                    cur_bytes += span[1] - span[0]
+                    if (cur_bytes >= self._CHUNK_BYTES
+                            or len(cur) >= self._CHUNK_RECS):
+                        chunks.append(cur)
+                        cur, cur_bytes = [], 0
+                if cur:
+                    chunks.append(cur)
+                left[fi] = len(chunks)
+                if not chunks:
+                    self._finalize_file(fi, results)
+                    continue
+                for chunk in chunks:
+                    if len(pending) >= self.window:
+                        drain_one()
+                    entry_ = {"fi": fi, "ss": ss, "data": data,
+                              "recs": [{} for _ in chunk]}
+                    pf = preppers.submit(self._prep_chunk, ss, data,
+                                         chunk)
+                    entry_["lfut"] = launcher.submit(
+                        self._launch_chunk, pf, entry_)
+                    pending.append(entry_)
+            launcher.submit(self._flush_batch)
+            while pending:
+                drain_one()
+        # adaptive capacities persist on the members (single-file
+        # behavior unchanged: the one member gets the final values)
+        for ss, _ in self.items:
+            ss._sel_cap_guess = self.sel_guess
+            ss._batch_sel_rate = self.rate
+        return results
+
+
+def _shared_params_key(ss):
+    return (ss.k, ss.m, ss.threshold, ss.s, ss.abundance,
+            ss.scan_engine, ss._tile_own, ss._tile_extra,
+            ss._SHORT_MAX, ss._SHORT_BATCH_MAX)
+
+
+def sketch_fof(items, on_result=None):
+    """Sketch many (subsampler, fasta_path) pairs through ONE shared
+    device pipeline (see _SharedSketchRun). Returns the serialized
+    sketch bytes per item, aligned with the input (None for
+    unopenable inputs, matching sketch_file's contract). Items whose
+    configuration requires the compat path (device dedup on, no
+    native toolchain) run through _sketch_file_compat individually;
+    mixed-parameter items split into per-parameter shared runs.
+
+    on_result(idx, raw): called as each item's sketch bytes become
+    available (a file finalizes as soon as its last chunk drains), so
+    output writing can overlap the remaining device work."""
+    import os
+    import sys
+
+    from supersampler_tpu.native import clean_pack_native
+
+    results = [None] * len(items)
+    shared: dict = {}               # params key -> [(idx, ss, path)]
+    for idx, (ss, path) in enumerate(items):
+        if not os.path.exists(path):
+            log = ss.log or sys.stdout
+            print("Problem with file opening", file=log)
+            print(f"Can't open file: {path}", file=log)
+            continue
+        if (ss._dedup_on() or ss._nf() is None
+                or clean_pack_native(np.zeros(0, np.uint8), 4, 4)
+                is None):
+            results[idx] = ss._sketch_file_compat(path)
+            if on_result is not None and results[idx] is not None:
+                on_result(idx, results[idx])
+            continue
+        shared.setdefault(_shared_params_key(ss), []).append(
+            (idx, ss, path))
+    for members in shared.values():
+        gidx = [idx for idx, _, _ in members]
+        cb = (None if on_result is None
+              else lambda mi, raw: on_result(gidx[mi], raw))
+        run = _SharedSketchRun([(ss, path) for _, ss, path in members],
+                               on_result=cb)
+        outs = run.run()
+        for (idx, _ss, _path), out in zip(members, outs):
+            results[idx] = out
+    return results
