@@ -1014,10 +1014,12 @@ class _SharedSketchRun:
         end, so single-file behavior is unchanged.
     """
 
-    _FETCH_BATCH = 8
-    _FETCH_BYTES = 64 << 20
+    _FETCH_BATCH = 16
     _CHUNK_BYTES = 4 << 20
     _CHUNK_RECS = 4096
+    # superbatch budget: raw bytes phased through the device together
+    # (host holds ~1.25x this live; device holds ~0.25x packed)
+    _SB_BYTES = 256 << 20
 
     def __init__(self, items, on_result=None):
         self.on_result = on_result      # callback(member_idx, raw)
@@ -1036,9 +1038,8 @@ class _SharedSketchRun:
         self.sel_guess = ss0._sel_cap_guess
         self.kmer_guess = ss0._kmer_cap_guess
         self.rate = ss0._batch_sel_rate
-        self.window = 4 if len(self.items) == 1 else 16
-        self.batch = []                 # [(rec, slab, L, own), ...]
-        self.batch_bytes = 0
+        self.batch = []                 # staging: [(rec, slab, L, own)]
+        self.staged = []                # staged medium batches
 
     # ---- prep: per chunk, ONE C call per short group ----
     def _prep_chunk(self, ss, data, spans_chunk):
@@ -1128,49 +1129,64 @@ class _SharedSketchRun:
         entry = field_entry_init(ft, *self.thr_w)
         return resolve_field(ft, k, m, cap, entry, *self.thr_w)
 
-    # ---- launcher-thread state ----
-    # Medium records accumulate PREPPED (no device work) and flush as
-    # a unit: ONE grouped H2D for all slabs — across chunk AND file
-    # boundaries — then the fused computes, then ONE stacked D2H.
-    # Interleaving puts with computes stalls the in-order stream for a
-    # link round-trip per put (measured r4), so transfers and computes
-    # are phased.
+    # ---- phased launcher (upload -> dispatch -> fetch) ----
+    # The r5 platform model (docs/PERF.md): a fresh session transfers
+    # H2D at GB/s until certain large programs first execute, after
+    # which EVERY H2D costs ~28 ms + ~30 ms/MB for the session's
+    # lifetime; D2H always costs that.  So each superbatch phases ALL
+    # its uploads BEFORE any compute dispatch — a cold CLI process
+    # uploads the whole corpus at line rate — and fetches are stacked
+    # so their ~28 ms stream-blocking floor amortizes over many
+    # records.
     def _timed_get(self, stacked):
         from supersampler_tpu.utils.profiling import phase
 
         with phase("device+fetch"):
             return jax.device_get(stacked)
 
-    def _flush_batch(self):
+    def _stage_batch(self):
+        """Upload the accumulated medium records as ONE stacked H2D
+        put (no compute); dispatch happens in the dispatch phase."""
         if not self.batch:
             return
         items = list(self.batch)
-        n_b = len(items)
+        self.batch = []
+        if len(items) == 1:
+            dev = jnp.asarray(items[0][1])
+        else:
+            dev = jnp.asarray(np.stack([s for _, s, _, _ in items]))
+        st = {"dev": dev, "items": items}
+        self.staged.append(st)
+        for i, (rec, slab, L, own) in enumerate(items):
+            rec.update(slab=slab, L=L, own=own, staged=st,
+                       slot=i if len(items) > 1 else None)
+
+    def _dispatch_staged(self, st):
+        """Dispatch the fused per-record programs of one staged medium
+        batch; the stacked result is fetched as ONE transfer."""
+        items = st["items"]
         cap = _pow2_ge(max(
             items[0][3] if self.select_all else self.sel_guess,
             4096))
-        if n_b == 1:
-            rec, slab, L, own = items[0]
-            arr = self._dispatch_single(slab, L, own, cap)
-            arrs = [arr]
+        if len(items) == 1:
+            _r, _s, L, own = items[0]
+            stacked = self._dispatch_single(st["dev"], L, own, cap)
         else:
-            big = np.stack([slab for _, slab, _, _ in items])
-            dev = jnp.asarray(big)      # ONE transfer for the batch
-            arrs = [self._dispatch_single(dev[i], L, own, cap)
+            arrs = [self._dispatch_single(st["dev"][i], L, own, cap)
                     for i, (_, _, L, own) in enumerate(items)]
-        stacked = arrs[0] if n_b == 1 else _stack_arrs(arrs)
-        # clear only after dispatch succeeded: a failure leaves the
-        # records in `batch` so the drain-side retry re-raises the
-        # real error on the main thread
-        self.batch, self.batch_bytes = [], 0
+            stacked = _stack_arrs(arrs)
+        st["stacked"] = stacked
+        for rec, _s, _L, _o in items:
+            rec["cap"] = cap
+
+    def _fetch_staged(self, st):
+        stacked = st["stacked"]
         try:
             stacked.copy_to_host_async()
         except AttributeError:
             pass
         fut = self.fetcher.submit(self._timed_get, stacked)
-        for i, (rec, slab, L, own) in enumerate(items):
-            rec.update(slab=slab, L=L, own=own, cap=cap)
-            rec["slot"] = i if n_b > 1 else None
+        for rec, _s, _L, _o in st["items"]:
             rec["fut"] = fut
 
     def _short_cap(self, positions: int) -> int:
@@ -1184,17 +1200,26 @@ class _SharedSketchRun:
 
         own = g["own"]
         cap = self._short_cap(g["lengths"].size * own)
-        arr = scan_resolve_batch(
-            jnp.asarray(g["pack"]), self.k, self.m, own, cap,
+        g["arr"] = scan_resolve_batch(
+            g["dev"] if "dev" in g else jnp.asarray(g["pack"]),
+            self.k, self.m, own, cap,
             jnp.asarray(g["lengths"]), *self.thr_w)
+        g["cap"] = cap
+
+    def _fetch_group(self, g):
+        arr = g.pop("arr")
         try:
             arr.copy_to_host_async()
         except AttributeError:
             pass
-        g["cap"] = cap
         g["fut"] = self.fetcher.submit(self._timed_get, arr)
 
-    def _launch_chunk(self, pfut, entry_):
+    def _upload_chunk(self, pfut, entry_):
+        """Phase U (launcher thread): device puts for one chunk's
+        payloads — group pack matrices, medium-slab stacks, multi-tile
+        slabs — and record-route bookkeeping. NO compute dispatches
+        happen here: within a superbatch every byte lands on the
+        device before the first program runs."""
         from supersampler_tpu.utils.profiling import phase
 
         routes, groups = pfut.result()
@@ -1202,10 +1227,11 @@ class _SharedSketchRun:
         entry_["groups"] = groups
         recs = entry_["recs"]
         ss = entry_["ss"]
-        k, m = self.k, self.m
-        with phase("launch_scan"):
+        k = self.k
+        with phase("upload"):
             for g in groups:
-                self._dispatch_group(g)
+                g["ss"] = ss
+                g["dev"] = jnp.asarray(g["pack"])
             for i, p in enumerate(routes):
                 if p is None or p[0] in ("skip", "grp"):
                     continue
@@ -1216,29 +1242,79 @@ class _SharedSketchRun:
                     if len(ref) < k:
                         routes[i] = ("skip",)
                         continue
-                    ss.read_kmer += len(ref) - k + 1
                     rec["ref"] = ref
-                    rec["dc"] = ss._launch_scan(ref)
                     continue
                 _, ref, slab, L, own, n_tiles = p
-                ss.read_kmer += L - k + 1
                 rec["ref"] = ref
                 if n_tiles > 1:
-                    sel_guess = (own if self.select_all
-                                 else self.sel_guess)
-                    rec["dc"] = FieldChain(
-                        slab, n_tiles, k, m, L, self.thr, own,
-                        self.extra, sel_cap_guess=sel_guess,
-                        kmer_cap_guess=self.kmer_guess,
-                        select_all=self.select_all, dedup=False)
+                    rec["slab_dev"] = jnp.asarray(slab)
+                    rec["plan"] = (L, own, n_tiles)
                     continue
                 if self.batch and self.batch[0][1].size != slab.size:
-                    self._flush_batch()  # slabs must stack same-shaped
+                    self._stage_batch()  # stacks must be same-shaped
                 self.batch.append((rec, slab, L, own))
-                self.batch_bytes += slab.size
-                if (len(self.batch) >= self._FETCH_BATCH
-                        or self.batch_bytes >= self._FETCH_BYTES):
-                    self._flush_batch()
+                if len(self.batch) >= self._FETCH_BATCH:
+                    self._stage_batch()
+
+    def _dispatch_entries(self, entries):
+        """Phase C+F (launcher thread): dispatch every compute of the
+        superbatch in record order, then enqueue the stacked fetches in
+        chunk order (each D2H blocks the in-order stream ~28 ms, so
+        they run after ALL computes)."""
+        from supersampler_tpu.utils.profiling import phase
+
+        self._stage_batch()
+        with phase("dispatch"):
+            staged_iter = iter(self.staged)
+            seen = set()
+            for entry_ in entries:
+                routes = entry_["routes"]
+                recs = entry_["recs"]
+                ss = entry_["ss"]
+                for g in entry_["groups"]:
+                    self._dispatch_group(g)
+                for i, p in enumerate(routes):
+                    if p is None or p[0] in ("skip", "grp"):
+                        continue
+                    rec = recs[i]
+                    if p[0] == "legacy":
+                        ss.read_kmer += len(rec["ref"]) - self.k + 1
+                        rec["dc"] = ss._launch_scan(rec["ref"])
+                        continue
+                    if "plan" in rec:
+                        L, own, n_tiles = rec["plan"]
+                        ss.read_kmer += L - self.k + 1
+                        sel_guess = (own if self.select_all
+                                     else self.sel_guess)
+                        rec["dc"] = FieldChain(
+                            rec["slab_dev"], n_tiles, self.k, self.m,
+                            L, self.thr, own, self.extra,
+                            sel_cap_guess=sel_guess,
+                            kmer_cap_guess=self.kmer_guess,
+                            select_all=self.select_all, dedup=False)
+                        continue
+                    ss.read_kmer += rec["L"] - self.k + 1
+                    st = rec["staged"]
+                    if id(st) not in seen:
+                        seen.add(id(st))
+                        self._dispatch_staged(st)
+            # fetch pass: chunk order; a staged medium batch fetches at
+            # its LAST record's chunk (it is complete only then)
+            fetched = set()
+            for entry_ in entries:
+                for g in entry_["groups"]:
+                    self._fetch_group(g)
+                for rec in entry_["recs"]:
+                    st = rec.get("staged")
+                    if st is not None and id(st) in seen \
+                            and rec is st["items"][-1][0]:
+                        fetched.add(id(st))
+                        self._fetch_staged(st)
+            for st in self.staged:
+                if id(st) in seen and id(st) not in fetched:
+                    self._fetch_staged(st)
+            self.staged = [st for st in self.staged
+                           if id(st) not in seen]
 
     # ---- assembly ----
     def _resolve_group(self, g):
@@ -1344,6 +1420,7 @@ class _SharedSketchRun:
         from supersampler_tpu.utils.profiling import phase
 
         entry_["lfut"].result()
+        entry_["dfut"].result()
         routes = entry_["routes"]
         groups = entry_["groups"]
         recs = entry_["recs"]
@@ -1375,10 +1452,8 @@ class _SharedSketchRun:
                                       TpuSubsampler._fetch(rec["dc"]))
                     continue
                 if "fut" not in rec:
-                    self.launcher.submit(self._flush_batch).result()
-                    if "fut" not in rec:
-                        raise RuntimeError(
-                            "record missed its dispatch batch")
+                    raise RuntimeError(
+                        "record missed its dispatch batch")
                 self._finish_single(rec)
             if run is not None:
                 self._resolve_group(groups[run[0]])
@@ -1431,6 +1506,29 @@ class _SharedSketchRun:
                         read_futs[j] = reader.submit(
                             read_fasta_spans, self.items[j][1])
 
+            # superbatch assembly: chunks accumulate (file-major, in
+            # order) until the raw-byte budget, then the whole batch
+            # phases through upload -> dispatch -> fetch while the
+            # PREVIOUS superbatch's chunks drain on this thread
+            sb_entries: list = []
+            sb_bytes = 0
+
+            def close_superbatch():
+                nonlocal sb_entries, sb_bytes
+                if not sb_entries:
+                    return
+                entries = sb_entries
+                sb_entries, sb_bytes = [], 0
+                dfut = self.launcher.submit(self._dispatch_entries,
+                                            entries)
+                for e in entries:
+                    e["dfut"] = dfut
+                # previous superbatch fully drains before the next one
+                # is assembled (bounds host+device memory at ~2 SBs)
+                while pending:
+                    drain_one()
+                pending.extend(entries)
+
             for fi, (ss, path) in enumerate(self.items):
                 ensure_reads(fi)
                 with phase("parse"):
@@ -1449,19 +1547,25 @@ class _SharedSketchRun:
                     chunks.append(cur)
                 left[fi] = len(chunks)
                 if not chunks:
+                    # finalize in fof order: after every earlier
+                    # file's chunks have drained
+                    close_superbatch()
+                    while pending:
+                        drain_one()
                     self._finalize_file(fi, results)
                     continue
                 for chunk in chunks:
-                    if len(pending) >= self.window:
-                        drain_one()
                     entry_ = {"fi": fi, "ss": ss, "data": data,
                               "recs": [{} for _ in chunk]}
                     pf = preppers.submit(self._prep_chunk, ss, data,
                                          chunk)
                     entry_["lfut"] = launcher.submit(
-                        self._launch_chunk, pf, entry_)
-                    pending.append(entry_)
-            launcher.submit(self._flush_batch)
+                        self._upload_chunk, pf, entry_)
+                    sb_entries.append(entry_)
+                    sb_bytes += sum(e - s for s, e in chunk)
+                    if sb_bytes >= self._SB_BYTES:
+                        close_superbatch()
+            close_superbatch()
             while pending:
                 drain_one()
         # adaptive capacities persist on the members (single-file

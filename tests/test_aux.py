@@ -116,7 +116,8 @@ def test_phase_timers_and_trace(tmp_path, monkeypatch):
         "ACGT"[c] for c in rng.integers(0, 4, 4000)) + "\n")
     timers.reset()
     TpuSubsampler(k=31, m=11, s=10.0).sketch_file(str(fa))
-    for name in ("parse", "launch_scan", "device+fetch", "assemble",
-                 "serialize"):
+    # r5 phased pipeline: launch_scan split into upload + dispatch
+    for name in ("parse", "upload", "dispatch", "device+fetch",
+                 "assemble", "serialize"):
         assert name in timers.totals, name
     assert "parse" in timers.report()
