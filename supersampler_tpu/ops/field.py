@@ -35,8 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from supersampler_tpu.ops import u64 as U
-from supersampler_tpu.ops.minimizer import _mmer_elect_block, _sl, _slh, \
-    unpack_2bit
+from supersampler_tpu.ops.minimizer import elect_block_flagged, _sl, \
+    _slh, unpack_2bit
 
 _I32 = jnp.int32
 _U32 = jnp.uint32
@@ -63,6 +63,9 @@ class FieldTables(NamedTuple):
     init_p: jnp.ndarray     # i32 absolute position_min
     init_h_hi: jnp.ndarray
     init_h_lo: jnp.ndarray
+    eflag: jnp.ndarray   # bool scalar: a consumed election hit a hash
+                         # collision (log-election undefined -> the
+                         # caller must take the exact fold fallback)
 
 
 def _pow2_le(n: int) -> int:
@@ -83,7 +86,11 @@ def _field_core(codes: jnp.ndarray, k: int, m: int, P: int, C: int,
     lookback pads +inf). One True for a single sequence; one per
     record for the batched layout.
 
-    Returns (h0, cv, em_r, ep_r, eh_r, sync_raw, em, ep, er, eh)."""
+    Returns (h0, cv, em_r, ep_r, eh_r, sync_raw, em, ep, er, eh,
+    eflag) where eflag (R, C+1) flags windows whose O(log W) election
+    hit a hash collision (window start w = r*C + c; see
+    _mmer_elect_block_log — flagged tiles take the exact fold/walker
+    fallback)."""
     W = k - m + 1
     halo = k + W
     assert C > halo and P % C == 0 and P % _B == 0
@@ -93,8 +100,8 @@ def _field_core(codes: jnp.ndarray, k: int, m: int, P: int, C: int,
     c2 = jnp.concatenate(
         [base, jnp.roll(base, -1, axis=0)[:, :halo]],
         axis=1).astype(jnp.uint32)
-    canon, rev, hh, em, ep, er, eh, h_ent = _mmer_elect_block(
-        c2, k, m, C, halo)
+    canon, rev, hh, em, ep, er, eh, h_ent, eflag = \
+        elect_block_flagged(c2, k, m, C, halo)
 
     h0 = _slh(h_ent, 0, C)                       # entering hash per j
     c_ent = _sl(canon, k - m + 1, C)
@@ -142,7 +149,10 @@ def _field_core(codes: jnp.ndarray, k: int, m: int, P: int, C: int,
     mn_hi = jnp.where(lt12, w2_hi, w1_hi)
     mn_lo = jnp.where(lt12, w2_lo, w1_lo)
     sync = (h0.hi < mn_hi) | ((h0.hi == mn_hi) & (h0.lo < mn_lo))
-    return h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh
+    # elections are consumed for window starts [0, C] per row (em_r
+    # slices [1, C+1); window 0 feeds the init election)
+    return (h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh,
+            _sl(eflag, 0, C + 1))
 
 
 def scan_field_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
@@ -156,7 +166,7 @@ def scan_field_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
     W = k - m + 1
     R = P // C
     first_row = jnp.arange(R) == 0
-    h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh = _field_core(
+    h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh, efl = _field_core(
         codes, k, m, P, C, first_row)
 
     last_i = (length - k - 1).astype(_I32)
@@ -168,6 +178,12 @@ def scan_field_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
     # state resolves that prefix exactly anyway
     sync = sync & (j2d <= last_i) & (j2d >= 2 * W)
 
+    # collision flag: only windows whose elections are consumed matter
+    # (window start w <= last_i + 1; w = 0 feeds the init election)
+    w2d = (jax.lax.broadcasted_iota(_I32, (R, C + 1), 0) * C
+           + jax.lax.broadcasted_iota(_I32, (R, C + 1), 1))
+    eflag = jnp.any(efl & (w2d <= last_i + 1))
+
     flat = lambda a: a.reshape(-1)
     init_val = (em[0, 0] | (er[0, 0].astype(_U32) << 30))
     return FieldTables(
@@ -175,7 +191,7 @@ def scan_field_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
         ep=flat(ep_r), eh_hi=flat(eh_r.hi), eh_lo=flat(eh_r.lo),
         sync=flat(sync), last_i=last_i,
         init_val=init_val, init_p=ep[0, 0],
-        init_h_hi=eh.hi[0, 0], init_h_lo=eh.lo[0, 0])
+        init_h_hi=eh.hi[0, 0], init_h_lo=eh.lo[0, 0], eflag=eflag)
 
 
 def scan_field_2d_packed(packed, k, m, padded_len, length,
@@ -203,6 +219,7 @@ class BatchedFieldTables(NamedTuple):
     init_p: jnp.ndarray      # (B,) i32
     init_h_hi: jnp.ndarray   # (B,) u32
     init_h_lo: jnp.ndarray
+    eflag: jnp.ndarray       # (B,) bool per-record collision flag
 
 
 def scan_field_batched(packed, k: int, m: int, P_rec: int, lengths,
@@ -227,7 +244,7 @@ def scan_field_batched(packed, k: int, m: int, P_rec: int, lengths,
     codes = unpack_2bit(packed.reshape(-1), P)
     row_idx = jnp.arange(R)
     first_row = (row_idx % rpr) == 0
-    h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh = _field_core(
+    h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh, efl = _field_core(
         codes, k, m, P, C, first_row)
 
     last_i = (lengths - k - 1).astype(_I32)          # (B,)
@@ -235,6 +252,13 @@ def scan_field_batched(packed, k: int, m: int, P_rec: int, lengths,
             + jax.lax.broadcasted_iota(_I32, (R, C), 1))
     li_row = last_i[row_idx // rpr]
     sync = sync & (jloc <= li_row[:, None]) & (jloc >= 2 * W)
+
+    # per-record collision flag over consumed windows (local start
+    # wloc <= last_i[b] + 1)
+    wloc = ((row_idx % rpr)[:, None] * C
+            + jax.lax.broadcasted_iota(_I32, (R, C + 1), 1))
+    efl_m = efl & (wloc <= li_row[:, None] + 1)
+    eflag = jnp.any(efl_m.reshape(B_n, rpr * (C + 1)), axis=1)
 
     flat = lambda a: a.reshape(-1)
     r0 = jnp.arange(B_n) * rpr
@@ -244,7 +268,7 @@ def scan_field_batched(packed, k: int, m: int, P_rec: int, lengths,
         ep=flat(ep_r), eh_hi=flat(eh_r.hi), eh_lo=flat(eh_r.lo),
         sync=flat(sync), last_i=last_i, init_val=init_val,
         init_p=ep[r0, 0], init_h_hi=eh.hi[r0, 0],
-        init_h_lo=eh.lo[r0, 0])
+        init_h_lo=eh.lo[r0, 0], eflag=eflag)
 
 
 class FieldState(NamedTuple):
@@ -738,10 +762,11 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
         exit_le = jnp.where(newly_exit, st2.last_ev, exit_le)
         exit_known = exit_known | newly_exit
         prefix_done = prefix_done | can
-    # unresolved lanes or any per-lane list overflow both force the
-    # caller's exact fallback
+    # unresolved lanes, any per-lane list overflow, or an election
+    # hash-collision flag all force the caller's exact fallback
     status = (jnp.sum(~prefix_done) + jnp.sum(c_suf > capl)
-              + jnp.sum(c_pre > capl)).astype(_I32)
+              + jnp.sum(c_pre > capl)
+              + t.eflag.astype(_I32)).astype(_I32)
 
     # ---- synthesize the deferred entry emits: each sync event closes
     # the super-k-mer carried at the end of ITS OWN prefix (which
@@ -957,6 +982,9 @@ def resolve_field_batched(t: BatchedFieldTables, k: int, m: int,
                 | (c_pre > capl)).astype(_I32)
     status_rec = jax.ops.segment_sum(bad_lane, lane_rec,
                                      num_segments=B_n)
+    # election hash-collision flag: that record takes the exact
+    # standalone fallback
+    status_rec = status_rec + t.eflag.astype(_I32)
 
     # ---- deferred entry emits (sync events closing their own
     # prefix's payload) ----

@@ -442,6 +442,200 @@ def _mmer_elect_block(c2, k, m, C, halo):
     return canon, rev, hh, em, ep, er, eh, h_ent
 
 
+def _elect_log(canon, rev, hh, W: int, w_e: int):
+    """Exact window elections in O(log W) windowed reductions instead
+    of the O(W) fold (VERDICT r4 #2).
+
+    Derivation (provably equal to regular_minimizer_pos,
+    SubSampler.cpp:81-169, and the scalar spec
+    ops/event_field.election — fuzz-pinned in tests/test_scan_2d.py).
+    The right-to-left fold replaces its holder only on a strictly
+    smaller hash; its position-tie branch fires only for candidates
+    with the holder's exact (value, strand) pair, with MIRRORED
+    candidate coordinates W-1-d for rev holders (d = in-window
+    offset); a strict replacement stores the ACTUAL offset d for both
+    strands, and the initial (rightmost) element stores 0 when rev.
+    Writing d_R for the rightmost min-hash offset (whose element
+    provides the winning pair and hash) and noting every pair
+    occurrence is a min-hash position (equal value => equal hash):
+
+      * fwd winner: pos = min offset over FWD min-hash positions
+        (initial W-1 = its own d; replacement d_R; ties lower to the
+        leftmost pair offset);
+      * rev winner with d_R == W-1: the initial element's mirrored 0
+        can never be lowered (tie coordinates W-1-d > 0): pos = 0;
+      * rev winner with d_R < W-1: pos = min(d_R, W-1-d_2) where d_2
+        is the LARGEST pair offset below d_R — deeper occurrences
+        mirror to larger coordinates and never win.
+
+    Reduction A (lexmin by H asc, offset desc — overlap-safe) yields
+    (em, er, eh) and d_R; reduction B (H asc, fwd-before-rev, offset
+    asc) yields the fwd-case position; reduction D tracks, per
+    (min-H, rev) class, the two largest offsets and their values over
+    a DISJOINT binary decomposition of the window (second-max does not
+    survive overlapping covers). True 64-bit hash collisions between
+    distinct values inside one window raise `flag` (~2^-64/window) and
+    the caller falls back to the exact fold path.
+
+    Returns (em u32, ep i32, er bool, eh U64, flag bool), each of
+    width w_e; requires canon width w_m >= w_e + W - 1 (the block
+    layout gives exactly that)."""
+    R, w_m = canon.shape
+    assert w_m >= w_e + W - 1 and w_m < (1 << 20), (w_m, w_e, W)
+    o = jax.lax.broadcasted_iota(_I32, (R, w_m), 1)
+    pv = canon | (rev.astype(_U32) << 30)
+    kb = (rev.astype(_I32) << 20) | o
+    t = 1
+    while t * 2 <= W:
+        t *= 2
+
+    def wreduce(h_hi, h_lo, aux, sat, tie_left, lo_off, hi_off):
+        """Suffix-aligned doubling: after the loop column x reduces
+        [max(0, x-t+1), x]; the final combine of the window's two
+        (overlapping — the op is an idempotent lexmin) covering slices
+        returns per-window winners."""
+        cur = 1
+        while cur < t:
+            w_ = w_m - cur
+            lh, ll = _sl(h_hi, 0, w_), _sl(h_lo, 0, w_)
+            rh, rl = _sl(h_hi, cur, w_), _sl(h_lo, cur, w_)
+            la, ra = _sl(aux, 0, w_), _sl(aux, cur, w_)
+            ls, rs = _sl(sat, 0, w_), _sl(sat, cur, w_)
+            left = (lh < rh) | ((lh == rh) & (
+                (ll < rl) | ((ll == rl) & tie_left(la, ra))))
+            h_hi = jnp.concatenate(
+                [h_hi[:, :cur], jnp.where(left, lh, rh)], axis=1)
+            h_lo = jnp.concatenate(
+                [h_lo[:, :cur], jnp.where(left, ll, rl)], axis=1)
+            aux = jnp.concatenate(
+                [aux[:, :cur], jnp.where(left, la, ra)], axis=1)
+            sat = jnp.concatenate(
+                [sat[:, :cur], jnp.where(left, ls, rs)], axis=1)
+            cur *= 2
+        lh, ll = _sl(h_hi, lo_off, w_e), _sl(h_lo, lo_off, w_e)
+        rh, rl = _sl(h_hi, hi_off, w_e), _sl(h_lo, hi_off, w_e)
+        la, ra = _sl(aux, lo_off, w_e), _sl(aux, hi_off, w_e)
+        ls, rs = _sl(sat, lo_off, w_e), _sl(sat, hi_off, w_e)
+        left = (lh < rh) | ((lh == rh) & (
+            (ll < rl) | ((ll == rl) & tie_left(la, ra))))
+        return (jnp.where(left, lh, rh), jnp.where(left, ll, rl),
+                jnp.where(left, la, ra), jnp.where(left, ls, rs))
+
+    # window [s, s+W-1] = combine(cols [s, s+t-1], cols [s+W-t, s+W-1])
+    a_hi, a_lo, a_o, a_pv = wreduce(
+        hh.hi, hh.lo, o, pv, lambda l, r: l > r, t - 1, W - 1)
+    _bh, _bl, b_k, b_pv = wreduce(
+        hh.hi, hh.lo, kb, pv, lambda l, r: l < r, t - 1, W - 1)
+
+    # ---- reduction D: top-2 offsets (+values) of the (min-H, rev)
+    # class, over disjoint pow2 pieces. Merge of (a LEFT of b): the
+    # preferred-key side wins outright; equal keys merge d-pairs —
+    # disjointness gives b.d1 > a.d1, so d1 = b.d1 and d2 =
+    # max(a.d1, b.d2). kr = 0 for rev (preferred after H).
+    def d_merge(a, b):
+        ah, al, akr, ad1, av1, ad2, av2 = a
+        bh, bl, bkr, bd1, bv1, bd2, bv2 = b
+        take_a = (ah < bh) | ((ah == bh) & (
+            (al < bl) | ((al == bl) & (akr < bkr))))
+        eq = (ah == bh) & (al == bl) & (akr == bkr)
+        a1_gt = ad1 > bd2
+        m_d2 = jnp.where(a1_gt, ad1, bd2)
+        m_v2 = jnp.where(a1_gt, av1, bv2)
+        h_hi = jnp.where(take_a, ah, bh)
+        h_lo = jnp.where(take_a, al, bl)
+        kr = jnp.where(take_a, akr, bkr)
+        d1 = jnp.where(eq | ~take_a, bd1, ad1)
+        v1 = jnp.where(eq | ~take_a, bv1, av1)
+        d2 = jnp.where(eq, m_d2, jnp.where(take_a, ad2, bd2))
+        v2 = jnp.where(eq, m_v2, jnp.where(take_a, av2, bv2))
+        return h_hi, h_lo, kr, d1, v1, d2, v2
+
+    def d_slice(arrs, off, width):
+        return tuple(_sl(a, off, width) for a in arrs)
+
+    lvl = (hh.hi, hh.lo, (~rev).astype(_U32), o, canon,
+           jnp.full_like(o, -1), jnp.zeros_like(canon))
+    levels = {}
+    size = 1
+    if size & W:
+        levels[size] = lvl
+    while size * 2 <= W:
+        w_ = w_m - size
+        lvl = tuple(
+            jnp.concatenate([full[:, :size], merged], axis=1)
+            for full, merged in zip(
+                lvl, d_merge(d_slice(lvl, 0, w_),
+                             d_slice(lvl, size, w_))))
+        size *= 2
+        if size & W:
+            levels[size] = lvl
+    acc = None
+    base = 0
+    for size in sorted(levels, reverse=True):   # leftmost piece first
+        piece = d_slice(levels[size], base + size - 1, w_e)
+        acc = piece if acc is None else d_merge(acc, piece)
+        base += size
+    _dh, _dl, _dkr, d1, v1, d2, v2 = acc
+
+    s_col = jax.lax.broadcasted_iota(_I32, (R, w_e), 1)
+    em = a_pv & ((1 << 30) - 1)
+    er = (a_pv >> 30) != 0
+    eh = U.U64(a_hi, a_lo)
+    d_a = a_o - s_col
+    d_b = (b_k & ((1 << 20) - 1)) - s_col
+    rev_b = (b_k >> 20) != 0
+    val_b = b_pv & ((1 << 30) - 1)
+    d1r = d1 - s_col
+    d2r = d2 - s_col                      # < 0 when absent
+    has2 = d2 >= 0
+    pos_rev = jnp.where(
+        d_a == W - 1, 0,
+        jnp.minimum(d_a, jnp.where(has2, (W - 1) - d2r, d_a)))
+    ep = jnp.where(er, pos_rev, d_b).astype(_I32)
+    flag = jnp.where(
+        er,
+        (v1 != em) | (d1r != d_a) | (has2 & (v2 != em)),
+        (val_b != em) | rev_b)
+    return em, ep, er, eh, flag
+
+
+def _mmer_elect_block_log(c2, k, m, C, halo):
+    """_mmer_elect_block with the O(log W) election reduction; returns
+    the same tuple plus the per-window collision flag (see _elect_log).
+    A raised flag routes the tile through the exact fold/walker
+    fallback."""
+    W = k - m + 1
+    w_m = C + halo - (m - 1)
+    canon, rev, hh = _mmer_build_block(c2, m, w_m)
+    w_e = w_m - (k - m)
+    em, ep, er, eh, flag = _elect_log(canon, rev, hh, W, w_e)
+    h_ent = _slh(hh, k - m + 1, C + W)
+    return canon, rev, hh, em, ep, er, eh, h_ent, flag
+
+
+import os as _os
+
+_ELECT_IMPL = _os.environ.get("SPSP_ELECT", "fold")
+
+
+def elect_block_flagged(c2, k, m, C, halo):
+    """Election backend for the field engine: the exact fold plus a
+    constant-False collision flag.
+
+    The O(log W) reduction (_elect_log) is bit-exact (fuzz-pinned in
+    tests/test_scan_2d.py) but measured ~2x SLOWER than the fold on
+    this chip (r5: 6.5 vs 3.2 ms per 4.19 Mbp record, both at C=512
+    and C=1024) — its ragged-width slice/concat steps each force a
+    relayout copy that swamps the ALU savings of 5 log-steps vs 21
+    fold steps. The fold therefore stays the default; SPSP_ELECT=log
+    switches the engine to the reduction for (re-)measurement."""
+    if _ELECT_IMPL == "log":
+        return _mmer_elect_block_log(c2, k, m, C, halo)
+    canon, rev, hh, em, ep, er, eh, h_ent = _mmer_elect_block(
+        c2, k, m, C, halo)
+    return canon, rev, hh, em, ep, er, eh, h_ent, jnp.zeros_like(er)
+
+
 def _block_tables(c2, row0, length, threshold, k, m, C, halo):
     """Successor/payload tables for a (Rb, C+halo) block of codes whose
     first row starts at flat position row0*C. Shared by the XLA 2D path
