@@ -96,6 +96,11 @@ def _field_core(codes: jnp.ndarray, k: int, m: int, P: int, C: int,
     assert C > halo and P % C == 0 and P % _B == 0
     R = P // C
 
+    if jax.default_backend() == "tpu":
+        from supersampler_tpu.ops.scan_kernel import field_core_mosaic
+
+        return field_core_mosaic(codes, k, m, P, C, first_row)
+
     base = codes.reshape(R, C)
     c2 = jnp.concatenate(
         [base, jnp.roll(base, -1, axis=0)[:, :halo]],
@@ -110,13 +115,22 @@ def _field_core(codes: jnp.ndarray, k: int, m: int, P: int, C: int,
     em_r = _sl(em, 1, C) | (_sl(er, 1, C).astype(_U32) << 30)
     ep_r = _sl(ep, 1, C)
     eh_r = _slh(eh, 1, C)
+    sync = _sync_from_h0(h0, first_row, W, C)
+    # elections are consumed for window starts [0, C] per row (em_r
+    # slices [1, C+1); window 0 feeds the init election)
+    return (h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh,
+            _sl(eflag, 0, C + 1))
 
-    # ---- sync flags: strict minimum vs the previous 2W entering
-    # hashes, via log-step windowed mins on a left-halo'd layout ----
+
+def _sync_from_h0(h0, first_row, W: int, C: int):
+    """Sync flags: strict minimum vs the previous 2W entering hashes,
+    via log-step windowed mins on a left-halo'd layout (the previous
+    row's tail supplies the lookback; predecessor-less rows pad
+    +inf)."""
+    R = h0.hi.shape[0]
     LH = 2 * W
     prev_tail_hi = jnp.roll(h0.hi, 1, axis=0)[:, C - LH:]
     prev_tail_lo = jnp.roll(h0.lo, 1, axis=0)[:, C - LH:]
-    # predecessor-less rows: +inf pad (never smaller)
     ff = jnp.broadcast_to(first_row[:, None], (R, LH))
     lh_hi = jnp.where(ff, _FF, prev_tail_hi)
     lh_lo = jnp.where(ff, _FF, prev_tail_lo)
@@ -148,11 +162,7 @@ def _field_core(codes: jnp.ndarray, k: int, m: int, P: int, C: int,
     lt12 = (w2_hi < w1_hi) | ((w2_hi == w1_hi) & (w2_lo < w1_lo))
     mn_hi = jnp.where(lt12, w2_hi, w1_hi)
     mn_lo = jnp.where(lt12, w2_lo, w1_lo)
-    sync = (h0.hi < mn_hi) | ((h0.hi == mn_hi) & (h0.lo < mn_lo))
-    # elections are consumed for window starts [0, C] per row (em_r
-    # slices [1, C+1); window 0 feeds the init election)
-    return (h0, cv, em_r, ep_r, eh_r, sync, em, ep, er, eh,
-            _sl(eflag, 0, C + 1))
+    return (h0.hi < mn_hi) | ((h0.hi == mn_hi) & (h0.lo < mn_lo))
 
 
 def scan_field_2d(codes: jnp.ndarray, k: int, m: int, padded_len: int,
