@@ -222,6 +222,54 @@ def main():
         reads_med, reads_st = _stats(r_ts)
         reads_mbps = reads_mb / reads_med
 
+        # --- fof mode: the same 8 records as 8 files through ONE
+        # shared phased pipeline (sketch_fof). Warm trials measure the
+        # steady state (degraded-H2D session, see roofline note); the
+        # cold run in a fresh subprocess measures a real CLI
+        # invocation, whose phased uploads run at line rate ----------
+        from supersampler_tpu.sketch.pipeline import sketch_fof
+
+        fof_files = []
+        for i, codes in enumerate(record_codes):
+            p = os.path.join(tmpdir, f"fof{i}.fa")
+            with open(p, "w") as f:
+                f.write(f">f{i}\n{nuc[codes].tobytes().decode()}\n")
+            fof_files.append(p)
+        fof_path = os.path.join(tmpdir, "fof.txt")
+        with open(fof_path, "w") as f:
+            f.write("\n".join(fof_files) + "\n")
+
+        def fof_once():
+            items = [(TpuSubsampler(k=K, m=M, s=S), p)
+                     for p in fof_files]
+            t0 = time.perf_counter()
+            sketch_fof(items)
+            return time.perf_counter() - t0
+
+        fof_once()          # warm
+        fof_med, fof_st = _stats([fof_once() for _ in range(TRIALS)])
+        fof_mbps = NREC * glen / 1e6 / fof_med
+
+        cold_fof = None
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_cold_fof.py"),
+                 fof_path, str(K), str(M), str(S)],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            if out.returncode == 0 and out.stdout.strip():
+                cold_fof = json.loads(out.stdout.strip().splitlines()[-1])
+                cold_fof["note"] = (
+                    "fresh process/session: phased uploads run at line "
+                    "rate before the first program executes; "
+                    "cold_total_s includes jit program loading (~20-40s "
+                    "per big program, amortized on production corpora); "
+                    "warm_repeat_s is the degraded-session steady state")
+        except Exception:
+            cold_fof = None
+
         # --- all-vs-all comparison over the corpus's sketches ----------
         from supersampler_tpu.compare.merge import TpuComparator
         from supersampler_tpu.sketch import subsample_file
@@ -315,6 +363,9 @@ def main():
             "reads_e2e_mbases_s": round(reads_mbps, 1),
             "reads_e2e": dict(reads_st, records=n_reads,
                               read_len=read_len),
+            "fof_e2e_mbases_s": round(fof_mbps, 1),
+            "fof_e2e": dict(fof_st, files=NREC),
+            "cold_fof": cold_fof,
             "field_kernel_mbases_s": round(field_mbps, 1),
             "field_kernel_vs_baseline": round(
                 field_mbps / BASELINE_CPU_8T_MBASES_S, 3),
@@ -326,16 +377,19 @@ def main():
                               "diff_s": round(kernel_dt, 4),
                               "engine": "succ-tables+walker (fallback)"},
             "roofline": {
-                "note": "r4 platform re-measurement: H2D is GB/s-class "
-                        "at median but every D2H (and put-while-busy) "
-                        "blocks the in-order device stream for a full "
-                        "~33 ms link round-trip; the pipeline batches "
-                        "records into single fused dispatches and "
-                        "single stacked fetches to amortize it. "
+                "note": "r5 platform model (docs/PERF.md): a fresh "
+                        "session transfers H2D at GB/s until certain "
+                        "large programs first execute, after which "
+                        "every H2D costs ~28 ms + ~30 ms/MB for the "
+                        "session's lifetime (D2H always does). The "
+                        "warm trials here run in that degraded state, "
+                        "so e2e is H2D-bandwidth-bound at ~34 MB/s of "
+                        "packed codes (~134 Mbases/s asymptote "
+                        "regardless of kernel speed); see cold_fof for "
+                        "the fresh-session (real CLI) profile. "
                         "Data-resident field kernel is the per-record "
-                        "ceiling; e2e adds host parse/clean+pack (C, "
-                        "~700 MB/s/core on this 2-vCPU host) and the "
-                        "per-batch round-trips.",
+                        "compute ceiling; host parse/clean+pack is C "
+                        "at ~700 MB/s/core on this 2-vCPU host.",
             },
             "device_path_mbases_s": round(device_mbps, 1),
             "device_path_vs_baseline": round(

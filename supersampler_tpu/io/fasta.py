@@ -83,6 +83,83 @@ def read_fasta_spans(path: str):
     return data, spans
 
 
+def stream_fasta_spans(path: str, window_bytes: int = 4 << 20,
+                       max_records: int = 4096):
+    """Stream (data, spans) blocks with whole-record raw spans, reading
+    the (possibly gzip) input incrementally with O(window + largest
+    record) host memory — the bounded-memory analog of
+    read_fasta_spans (the reference streams input through zstr with a
+    fixed window, include/zstr.hpp:397-399 + utils.cpp:357-364, while
+    holding one record; this holds one block of records).
+
+    Span semantics are identical to read_fasta_spans: each span is one
+    getLineFasta record body (header line dropped, newlines embedded,
+    chimeric N-joins preserved downstream by clean_dna). A block
+    closes when its payload reaches window_bytes or max_records; the
+    partially-read tail carries into the next block's buffer."""
+    from supersampler_tpu.utils.profiling import phase
+
+    with open_maybe_gzip(path) as f:
+        buf = bytearray()
+        eof = False
+
+        def refill():
+            nonlocal eof
+            with phase("parse"):
+                chunk = f.read(window_bytes)
+            if chunk:
+                buf.extend(chunk)
+            else:
+                eof = True
+
+        pos = 0
+        spans = []
+        payload = 0
+        while True:
+            nl = buf.find(b"\n", pos)
+            while nl < 0 and not eof:
+                refill()
+                nl = buf.find(b"\n", pos)
+            if nl < 0:
+                # EOF inside the header line (or empty input):
+                # read_fasta_spans emits an empty body span only when
+                # any bytes remain
+                if pos < len(buf):
+                    spans.append((len(buf), len(buf)))
+                break
+            start = nl + 1
+            sfrom = nl
+            while True:
+                nxt = buf.find(b"\n>", sfrom)
+                if nxt >= 0:
+                    end, pos = nxt, nxt + 1
+                    break
+                if eof:
+                    end = pos = len(buf)
+                    break
+                # a "\n" at the buffer edge may pair with an unread
+                # ">": re-scan from one byte back after refilling
+                sfrom = max(nl, len(buf) - 1)
+                refill()
+            spans.append((start, end))
+            payload += end - start
+            at_eof = eof and pos >= len(buf)
+            if (payload >= window_bytes or len(spans) >= max_records
+                    or at_eof):
+                yield bytes(buf), spans
+                if at_eof:
+                    return
+                tail = bytes(buf[pos:])
+                buf = bytearray(tail)
+                pos = 0
+                spans = []
+                payload = 0
+            if eof and pos >= len(buf):
+                break
+        if spans:
+            yield bytes(buf), spans
+
+
 def iter_fasta_records(path: str) -> Iterator[bytes]:
     """Yield cleaned sequences exactly as the reference's read loop does
     (reference SubSampler.cpp:334-347 + utils.cpp:706-718).

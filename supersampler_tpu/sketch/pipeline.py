@@ -1475,36 +1475,38 @@ class _SharedSketchRun:
         import collections
         import concurrent.futures
 
-        from supersampler_tpu.io.fasta import read_fasta_spans
-        from supersampler_tpu.utils.profiling import device_trace, phase
+        from supersampler_tpu.io.fasta import stream_fasta_spans
+        from supersampler_tpu.utils.profiling import device_trace
 
         results = [None] * len(self.items)
         pending = collections.deque()     # chunk entries, global order
         left = [0] * len(self.items)      # undrained chunks per file
+        done_reading = [False] * len(self.items)
+        next_final = 0
+
+        def try_finalize():
+            # files finalize strictly in fof order, each as soon as its
+            # last chunk drains
+            nonlocal next_final
+            while (next_final < len(self.items)
+                   and done_reading[next_final]
+                   and left[next_final] == 0):
+                self._finalize_file(next_final, results)
+                next_final += 1
 
         def drain_one():
             entry_ = pending.popleft()
             fi = entry_["fi"]
             self._drain_chunk(entry_)
             left[fi] -= 1
-            if left[fi] == 0:
-                self._finalize_file(fi, results)
+            try_finalize()
 
         with device_trace("sketch_fof"), \
                 concurrent.futures.ThreadPoolExecutor(2) as preppers, \
                 concurrent.futures.ThreadPoolExecutor(1) as fetcher, \
-                concurrent.futures.ThreadPoolExecutor(1) as launcher, \
-                concurrent.futures.ThreadPoolExecutor(1) as reader:
+                concurrent.futures.ThreadPoolExecutor(1) as launcher:
             self.fetcher = fetcher
             self.launcher = launcher
-            n_files = len(self.items)
-            read_futs: dict = {}
-
-            def ensure_reads(upto):
-                for j in range(upto, min(upto + 2, n_files)):
-                    if j not in read_futs:
-                        read_futs[j] = reader.submit(
-                            read_fasta_spans, self.items[j][1])
 
             # superbatch assembly: chunks accumulate (file-major, in
             # order) until the raw-byte budget, then the whole batch
@@ -1530,50 +1532,63 @@ class _SharedSketchRun:
                 pending.extend(entries)
 
             for fi, (ss, path) in enumerate(self.items):
-                ensure_reads(fi)
-                with phase("parse"):
-                    data, spans = read_futs.pop(fi).result()
-                ensure_reads(fi + 1)
-                chunks = []
-                cur, cur_bytes = [], 0
-                for span in spans:
-                    cur.append(span)
-                    cur_bytes += span[1] - span[0]
-                    if (cur_bytes >= self._CHUNK_BYTES
-                            or len(cur) >= self._CHUNK_RECS):
-                        chunks.append(cur)
-                        cur, cur_bytes = [], 0
-                if cur:
-                    chunks.append(cur)
-                left[fi] = len(chunks)
-                if not chunks:
-                    # finalize in fof order: after every earlier
-                    # file's chunks have drained
-                    close_superbatch()
-                    while pending:
-                        drain_one()
-                    self._finalize_file(fi, results)
-                    continue
-                for chunk in chunks:
+                # bounded-memory input: each streamed block is one
+                # chunk (O(window + largest record) host bytes per
+                # file; a background thread reads ahead)
+                blocks = _prefetch_iter(stream_fasta_spans(
+                    path, self._CHUNK_BYTES, self._CHUNK_RECS))
+                for data, chunk in blocks:
                     entry_ = {"fi": fi, "ss": ss, "data": data,
                               "recs": [{} for _ in chunk]}
                     pf = preppers.submit(self._prep_chunk, ss, data,
                                          chunk)
                     entry_["lfut"] = launcher.submit(
                         self._upload_chunk, pf, entry_)
+                    left[fi] += 1
                     sb_entries.append(entry_)
                     sb_bytes += sum(e - s for s, e in chunk)
                     if sb_bytes >= self._SB_BYTES:
                         close_superbatch()
+                done_reading[fi] = True
+                try_finalize()           # empty / fully-drained file
             close_superbatch()
             while pending:
                 drain_one()
+            try_finalize()
         # adaptive capacities persist on the members (single-file
         # behavior unchanged: the one member gets the final values)
         for ss, _ in self.items:
             ss._sel_cap_guess = self.sel_guess
             ss._batch_sel_rate = self.rate
         return results
+
+
+def _prefetch_iter(gen, depth: int = 2):
+    """Run a generator on a background thread with a bounded queue, so
+    file reading/decompression overlaps prep/device work without
+    unbounded buffering."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:        # surface on the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _shared_params_key(ss):

@@ -121,3 +121,80 @@ def test_phase_timers_and_trace(tmp_path, monkeypatch):
                  "assemble", "serialize"):
         assert name in timers.totals, name
     assert "parse" in timers.report()
+
+
+def test_stream_fasta_spans_matches_whole_file(tmp_path):
+    """stream_fasta_spans must produce exactly read_fasta_spans'
+    record bodies — across block boundaries, tiny windows, gzip input,
+    wrapped lines, N-runs, empty records and headerless tails."""
+    import gzip as gz
+    import random
+
+    import numpy as np
+
+    from supersampler_tpu.io.fasta import (read_fasta_spans,
+                                           stream_fasta_spans)
+
+    rng = random.Random(77)
+    recs = []
+    for i in range(37):
+        L = rng.choice([0, 3, 50, 1000, 9000])
+        s = "".join(rng.choice("ACGTNacgt") for _ in range(L))
+        recs.append((f">r{i} desc", s))
+    body = []
+    for hdr, s in recs:
+        body.append(hdr)
+        for j in range(0, max(len(s), 1), 61):
+            body.append(s[j : j + 61])
+    text = ("\n".join(body) + "\n").encode()
+    plain = tmp_path / "s.fa"
+    plain.write_bytes(text)
+    gzp = tmp_path / "s.fa.gz"
+    with gz.open(gzp, "wb") as f:
+        f.write(text)
+
+    for path in (plain, gzp):
+        data, spans = read_fasta_spans(str(path))
+        want = [bytes(data[s:e]) for s, e in spans]
+        for window, maxrec in ((1 << 20, 4096), (256, 7), (64, 2)):
+            got = []
+            for blk, bspans in stream_fasta_spans(str(path), window,
+                                                  maxrec):
+                got.extend(blk[s:e] for s, e in bspans)
+            assert got == want, (path, window, maxrec)
+
+
+def test_stream_fasta_sketch_parity(tmp_path):
+    """Tiny streaming windows through the full pipeline: sketch bytes
+    must equal the whole-file oracle's."""
+    import io as _io
+    import random
+
+    from supersampler_tpu.oracle.subsampler import OracleSubsampler
+    from supersampler_tpu.sketch.pipeline import (TpuSubsampler,
+                                                  _SharedSketchRun)
+
+    rng = random.Random(5)
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        for i in range(9):
+            L = rng.randrange(200, 4000)
+            f.write(f">c{i}\n" + "".join(
+                rng.choice("ACGT") for _ in range(L)) + "\n")
+    oracle = OracleSubsampler(k=31, m=11, s=5.0)
+    oracle.log = _io.StringIO()
+    want = oracle.sketch_file(str(fa))
+
+    class TinyChunks(TpuSubsampler):
+        pass
+
+    ss = TinyChunks(k=31, m=11, s=5.0)
+    old_cb, old_cr = (_SharedSketchRun._CHUNK_BYTES,
+                      _SharedSketchRun._CHUNK_RECS)
+    _SharedSketchRun._CHUNK_BYTES, _SharedSketchRun._CHUNK_RECS = 600, 3
+    try:
+        got = ss.sketch_file(str(fa))
+    finally:
+        _SharedSketchRun._CHUNK_BYTES = old_cb
+        _SharedSketchRun._CHUNK_RECS = old_cr
+    assert got == want
