@@ -100,17 +100,28 @@ def main():
 
     # --- kernel: data-resident difference timing -----------------------
     # (a) the sync-field engine (the product default, ops/field.py),
-    # via the fused scan+entry+resolve program the pipeline dispatches
+    # via the fused scan+entry+resolve program the pipeline dispatches.
+    # The device pool holds 2*NREC DISTINCT buffers so the long drain
+    # (2*NREC) never re-runs a (program, buffer) pair: re-running
+    # identical pairs can read absurdly low on this platform
+    # (suspected runtime memoization; docs/PERF.md r5 gotchas).
     from supersampler_tpu.ops.field import scan_resolve_single
 
+    kern_codes = record_codes + [
+        rng.integers(0, 4, size=glen, dtype=np.uint8)
+        for _ in range(NREC)]
     ext_in = []
-    for codes in record_codes:
+    for codes in kern_codes:
         c = np.zeros(128 + PAD + 512, np.uint8)
         c[128 : 128 + glen] = codes
         ext_in.append(pack_2bit_np(c))
     P_T = PAD + 512
     ext_dev = [jax.device_put(p) for p in ext_in]
     packed_dev = [jax.device_put(p) for p in packed_in]
+    for codes in kern_codes[NREC:]:
+        c = np.zeros(PAD, np.uint8)
+        c[:glen] = codes
+        packed_dev.append(jax.device_put(pack_2bit_np(c)))
     # force the H2D transfers to complete before timing anything
     for p in ext_dev + packed_dev:
         np.asarray(jnp.sum(p.astype(jnp.uint32)))
@@ -120,8 +131,9 @@ def main():
         t0 = time.perf_counter()
         arr = None
         for i in range(n):
-            arr = scan_resolve_single(ext_dev[i % NREC], K, M, P_T,
-                                      4096, jnp.int32(glen), thi, tlo)
+            arr = scan_resolve_single(ext_dev[i % len(ext_dev)], K, M,
+                                      P_T, 4096, jnp.int32(glen), thi,
+                                      tlo)
         jax.device_get(arr)     # drains the in-order device queue
         return time.perf_counter() - t0
 
@@ -147,14 +159,46 @@ def main():
         f_short = f_long = {"error": f"{type(e).__name__}: {e}"[:200]}
         field_dt = -1.0
 
+    # (a2) the v2 fused Mosaic path (ops/fused.py, opt-in via
+    # SPSP_FUSED=1): informational ledger entry while it chases v1
+    fused2 = None
+    try:
+        from supersampler_tpu.ops.fused import fused_single
+
+        def drain_v2(n):
+            t0 = time.perf_counter()
+            arr = None
+            for i in range(n):
+                arr = fused_single(ext_dev[i % len(ext_dev)], K, M,
+                                   P_T, 4096, False, jnp.int32(glen),
+                                   thi, tlo)
+            jax.device_get(arr)
+            return time.perf_counter() - t0
+
+        drain_v2(2)
+        a = jax.device_get(fused_single(
+            ext_dev[0], K, M, P_T, 4096, False, jnp.int32(glen), thi,
+            tlo))
+        assert int(a[0]) == 0, ("fused v2 invalid", int(a[0]))
+        t2s, v2_short = _stats([drain_v2(NREC) for _ in range(TRIALS)])
+        t2l, v2_long = _stats(
+            [drain_v2(2 * NREC) for _ in range(TRIALS)])
+        v2_dt = max(t2l - t2s, 1e-9)
+        fused2 = {"mbases_s": round(NREC * glen / 1e6 / v2_dt, 1),
+                  "short": v2_short, "long": v2_long,
+                  "diff_s": round(v2_dt, 4),
+                  "engine": "v2 fused Mosaic (opt-in SPSP_FUSED=1)"}
+    except Exception as e:
+        fused2 = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # (b) the successor-table + serial-walker engine (the exact
     # fallback; the sync-field engine above is the product default)
     def drain(n):
         t0 = time.perf_counter()
         dc = None
         for i in range(n):
-            t = scan(packed_dev[i % NREC], K, M, PAD, jnp.int32(glen),
-                     thrv)
+            t = scan(packed_dev[i % len(packed_dev)], K, M, PAD,
+                     jnp.int32(glen), thrv)
             dc = DeviceChain(t)
         dc.compact()            # drains the in-order device queue
         return time.perf_counter() - t0
@@ -372,6 +416,7 @@ def main():
             "field_kernel": {"short": f_short, "long": f_long,
                              "diff_s": round(field_dt, 4),
                              "engine": "sync-field fused (default)"},
+            "fused_v2_kernel": fused2,
             "walker_kernel_mbases_s": round(kernel_mbps, 1),
             "walker_kernel": {"short": short_st, "long": long_st,
                               "diff_s": round(kernel_dt, 4),

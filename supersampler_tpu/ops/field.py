@@ -373,6 +373,26 @@ def _pow2_ge(n: int) -> int:
     return p
 
 
+def _rank_to_lane(offs, counts, sel_cap: int, n_blk: int):
+    """lane index owning each output rank in [0, sel_cap) — the
+    inverse of the per-lane count prefix sum.
+
+    Equivalent to jnp.searchsorted(offs, arange(sel_cap), 'right') for
+    ranks < offs[-1], but loop-free: searchsorted lowers to an XLA
+    while loop whose ~15 iterations cost ~90 us EACH through this
+    platform's remote runtime (docs/PERF.md) — ~1.3 ms per resolve.
+    Scatter each non-empty lane's id at its start rank, then a running
+    max fills the gaps (non-empty lanes have strictly increasing
+    starts, so the scatter is collision-free). Ranks >= the total
+    event count return the last non-empty lane — callers mask those
+    ranks out, exactly as they clipped searchsorted's n_blk result."""
+    starts = offs - counts
+    lanes = jnp.arange(n_blk, dtype=_I32)
+    tgt = jnp.where(counts > 0, starts, sel_cap)
+    seed = jnp.zeros((sel_cap,), _I32).at[tgt].max(lanes, mode="drop")
+    return jax.lax.cummax(seed)
+
+
 def _lists_from_dense(ev, pval, plast, isent, j0, n_blk: int,
                       capl: int):
     """Per-lane compacted selected-event lists from dense (B, n_blk)
@@ -424,17 +444,27 @@ _LANEMUL = 1024          # lane-count multiple: 8 sublanes x 128 lanes
 def _sweep_kernel(li_ref, ca_ref, se_ref, st0_ref, hh_ref, hl_ref,
                   cv_ref, em_ref, ep_ref, ehh_ref, ehl_ref,
                   xs_ref, lp_ref, lv_ref, ll_ref, st, lps, lvs, lls,
-                  *, W, B, lc_sz, sub, n_cc, capl, force_entry):
+                  *, W, B, lc_sz, d0, d1, n_cc, capl, force_entry,
+                  tab3d):
+    """One lane chunk x column chunk. Lane vectors are (d0, d1) tiles
+    ((8, lc/8) for the classic 4D table layout; (16, 128) when the
+    tables arrive as the scan kernel's (n_tiles, B, 128) blocks —
+    tab3d — whose natural per-column read IS a (16, 128) tile)."""
     lci, cc = pl.program_id(0), pl.program_id(1)
     bc = lambda a, dt: jax.lax.bitcast_convert_type(a, dt)
+
+    if tab3d:
+        tread = lambda ref, u: ref[:, u, :]
+    else:
+        tread = lambda ref, u: ref[u, 0]
 
     @pl.when(cc == 0)
     def _():
         st[0:6] = st0_ref[:, 0]
-        st[6] = jnp.zeros((8, sub), _U32)
-        lps[...] = jnp.zeros((capl, 8, sub), _I32)
-        lvs[...] = jnp.zeros((capl, 8, sub), _U32)
-        lls[...] = jnp.zeros((capl, 8, sub), _I32)
+        st[6] = jnp.zeros((d0, d1), _U32)
+        lps[...] = jnp.zeros((capl, d0, d1), _I32)
+        lvs[...] = jnp.zeros((capl, d0, d1), _U32)
+        lls[...] = jnp.zeros((capl, d0, d1), _I32)
 
     @pl.when(ca_ref[lci, cc] != 0)
     def _():
@@ -461,8 +491,8 @@ def _sweep_kernel(li_ref, ca_ref, se_ref, st0_ref, hh_ref, hl_ref,
             r = cc * _CC + u
             j = lane_j0 + r
             act = active & (r >= start) & (r < end) & (j <= lastiv)
-            nh_hi = hh_ref[u, 0]
-            nh_lo = hl_ref[u, 0]
+            nh_hi = tread(hh_ref, u)
+            nh_lo = tread(hl_ref, u)
             lt = (nh_hi < h_hi) | ((nh_hi == h_hi) & (nh_lo < h_lo))
             if force_entry:
                 is_entry = act & (r == start)
@@ -472,13 +502,15 @@ def _sweep_kernel(li_ref, ca_ref, se_ref, st0_ref, hh_ref, hl_ref,
             expiry = act & (~adopt) & (j >= p)
             ev = adopt | expiry
 
-            new_hh = jnp.where(adopt, nh_hi, ehh_ref[u, 0])
-            new_hl = jnp.where(adopt, nh_lo, ehl_ref[u, 0])
+            new_hh = jnp.where(adopt, nh_hi, tread(ehh_ref, u))
+            new_hl = jnp.where(adopt, nh_lo, tread(ehl_ref, u))
             sel = ((new_hh < thr_hi)
                    | ((new_hh == thr_hi) & (new_hl <= thr_lo)))
-            new_val = (jnp.where(adopt, cv_ref[u, 0], em_ref[u, 0])
+            new_val = (jnp.where(adopt, tread(cv_ref, u),
+                                 tread(em_ref, u))
                        | (sel.astype(_U32) << 31))
-            new_p = jnp.where(adopt, j + W, ep_ref[u, 0] + j + 1)
+            new_p = jnp.where(adopt, j + W,
+                              tread(ep_ref, u) + j + 1)
 
             # selected-emit list append: the event at j closes the
             # super-k-mer held in the PRE-update state; entry events
@@ -535,10 +567,30 @@ def _sweep_pallas(tT, j0, lastiv, W: int, n_blk: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = _B
-    nb = -(-n_blk // _LANEMUL) * _LANEMUL
-    lc = min(_LC, nb)
-    assert nb % lc == 0 and lc % 8 == 0, (nb, lc)
-    sub = lc // 8
+    tab3d = tT[0].ndim == 3
+    if tab3d:
+        # tables arrive as the scan kernel's (n_tiles, B, 128) blocks
+        # (ops/fused.py): physical lane l = 128*tile + within, lane
+        # tiles are (16, 128) slices read straight from HBM — the
+        # 2D->4D XLA relayout of 7 full tables measured ~2.5 ms per
+        # resolve. Lanes must be pre-padded: 128*n_tiles == n_blk, a
+        # multiple of _LC.
+        nb = n_blk
+        n_t = tT[0].shape[0]
+        assert tT[0].shape == (n_t, B, 128) and 128 * n_t == nb, (
+            tT[0].shape, nb)
+        lc = min(_LC, nb)
+        assert nb % lc == 0 and lc % 128 == 0
+        d0, d1 = lc // 128, 128
+        n_lc = nb // lc
+    else:
+        nb = -(-n_blk // _LANEMUL) * _LANEMUL
+        lc = min(_LC, nb)
+        while nb % lc:       # nb is a _LANEMUL multiple, lc a pow2:
+            lc //= 2         # halving always terminates at a divisor
+        assert nb % lc == 0 and lc % 8 == 0, (nb, lc)
+        d0, d1 = 8, lc // 8
+        n_lc = nb // lc
 
     def padl(a, fill=0):
         if nb == n_blk:
@@ -547,8 +599,6 @@ def _sweep_pallas(tT, j0, lastiv, W: int, n_blk: int,
         return jnp.concatenate(
             [a, jnp.full(pad_shape, fill, a.dtype)], axis=-1)
 
-    h_hiT, h_loT, cvT, emT, epT, eh_hiT, eh_loT = (padl(a) for a in tT)
-    n_lc = nb // lc
     n_cc = B // _CC
 
     li = jnp.stack([jax.lax.bitcast_convert_type(
@@ -576,15 +626,21 @@ def _sweep_pallas(tT, j0, lastiv, W: int, n_blk: int,
           & (se[3][:, None] + ccs[None, :] <= se[4][:, None]))
     ca = jnp.any(la.reshape(n_lc, lc, n_cc), axis=1).astype(_I32)
 
-    r4 = lambda a: a.reshape(a.shape[:-1] + (n_lc, 8, sub))
+    r4 = lambda a: a.reshape(a.shape[:-1] + (n_lc, d0, d1))
     kern = functools.partial(_sweep_kernel, W=W, B=B, lc_sz=lc,
-                             sub=sub, n_cc=n_cc, capl=capl,
-                             force_entry=force_entry)
-    tab = lambda: pl.BlockSpec((_CC, 1, 8, sub),
-                               lambda l, c: (c, l, 0, 0))
-    lanes = lambda rows: pl.BlockSpec((rows, 1, 8, sub),
+                             d0=d0, d1=d1, n_cc=n_cc, capl=capl,
+                             force_entry=force_entry, tab3d=tab3d)
+    if tab3d:
+        tabs = tT
+        tab = lambda: pl.BlockSpec((d0, _CC, d1),
+                                   lambda l, c: (l, c, 0))
+    else:
+        tabs = tuple(r4(padl(a)) for a in tT)
+        tab = lambda: pl.BlockSpec((_CC, 1, d0, d1),
+                                   lambda l, c: (c, l, 0, 0))
+    lanes = lambda rows: pl.BlockSpec((rows, 1, d0, d1),
                                       lambda l, c: (0, l, 0, 0))
-    perlane = lambda rows: pl.BlockSpec((1, rows, 8, sub),
+    perlane = lambda rows: pl.BlockSpec((1, rows, d0, d1),
                                         lambda l, c: (l, 0, 0, 0))
     xs, lp, lv, ll = pl.pallas_call(
         kern,
@@ -599,18 +655,17 @@ def _sweep_pallas(tT, j0, lastiv, W: int, n_blk: int,
         out_specs=(perlane(7), perlane(capl), perlane(capl),
                    perlane(capl)),
         out_shape=(
-            jax.ShapeDtypeStruct((n_lc, 7, 8, sub), _U32),
-            jax.ShapeDtypeStruct((n_lc, capl, 8, sub), _I32),
-            jax.ShapeDtypeStruct((n_lc, capl, 8, sub), _U32),
-            jax.ShapeDtypeStruct((n_lc, capl, 8, sub), _I32),
+            jax.ShapeDtypeStruct((n_lc, 7, d0, d1), _U32),
+            jax.ShapeDtypeStruct((n_lc, capl, d0, d1), _I32),
+            jax.ShapeDtypeStruct((n_lc, capl, d0, d1), _U32),
+            jax.ShapeDtypeStruct((n_lc, capl, d0, d1), _I32),
         ),
-        scratch_shapes=[pltpu.VMEM((7, 8, sub), _U32),
-                        pltpu.VMEM((capl, 8, sub), _I32),
-                        pltpu.VMEM((capl, 8, sub), _U32),
-                        pltpu.VMEM((capl, 8, sub), _I32)],
+        scratch_shapes=[pltpu.VMEM((7, d0, d1), _U32),
+                        pltpu.VMEM((capl, d0, d1), _I32),
+                        pltpu.VMEM((capl, d0, d1), _U32),
+                        pltpu.VMEM((capl, d0, d1), _I32)],
         interpret=interpret,
-    )(li, ca, r4(se), r4(st0), r4(h_hiT), r4(h_loT), r4(cvT), r4(emT),
-      r4(epT), r4(eh_hiT), r4(eh_loT))
+    )(li, ca, r4(se), r4(st0), *tabs)
 
     unlane = lambda a, rows: a.transpose(1, 0, 2, 3).reshape(
         rows, nb)[:, :n_blk]
@@ -799,7 +854,7 @@ def resolve_field(t: FieldTables, k: int, m: int, sel_cap: int,
 
     offs = jnp.cumsum(counts)
     iidx = jnp.arange(sel_cap, dtype=_I32)
-    lane_i = jnp.searchsorted(offs, iidx, side="right")
+    lane_i = _rank_to_lane(offs, counts, sel_cap, n_blk)
     lane_c = jnp.clip(lane_i, 0, n_blk - 1).astype(_I32)
     base = offs[lane_c] - counts[lane_c]
     r_in = iidx - base
@@ -1013,7 +1068,7 @@ def resolve_field_batched(t: BatchedFieldTables, k: int, m: int,
     # ---- selected-boundary extraction (record-major global ranks) ----
     offs = jnp.cumsum(counts)
     iidx = jnp.arange(sel_cap, dtype=_I32)
-    lane_i = jnp.searchsorted(offs, iidx, side="right")
+    lane_i = _rank_to_lane(offs, counts, sel_cap, n_blk)
     lane_c = jnp.clip(lane_i, 0, n_blk - 1).astype(_I32)
     base = offs[lane_c] - counts[lane_c]
     r_in = iidx - base
@@ -1104,19 +1159,49 @@ def parse_batched_array(arr: np.ndarray, cap: int, B_n: int):
     return gstatus, n_total, comps, heads[:, 0].astype(np.int64)
 
 
+def _use_fused() -> bool:
+    """Opt-in switch for the v2 fused kernels (ops/fused.py): set
+    SPSP_FUSED=1. Parity-validated on-chip, but the resolve glue has
+    not beaten the v1 path yet (build/var_results.txt); the default
+    flips once it does."""
+    import os
+
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("SPSP_FUSED", "0") != "0")
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def scan_resolve_batch(packed, k: int, m: int, P_rec: int,
-                       sel_cap: int, lengths, thr_hi, thr_lo):
-    """Fused batch dispatch: scan + resolve of a (B, P_rec//4) packed
-    record batch as ONE program — one RPC and one D2H round-trip for
-    the whole batch (the many-short-record path; reference streams any
-    record shape through one loop, SubSampler.cpp:334-347)."""
+def _scan_resolve_batch_v1(packed, k: int, m: int, P_rec: int,
+                           sel_cap: int, lengths, thr_hi, thr_lo):
     t = scan_field_batched(packed, k, m, P_rec, lengths)
     return resolve_field_batched(t, k, m, sel_cap, P_rec, thr_hi,
                                  thr_lo)
 
 
+def scan_resolve_batch(packed, k: int, m: int, P_rec: int,
+                       sel_cap: int, lengths, thr_hi, thr_lo):
+    """Fused batch dispatch: scan + resolve of a (B, P_rec//4) packed
+    record batch as ONE program — one RPC and one D2H round-trip for
+    the whole batch (the many-short-record path; reference streams any
+    record shape through one loop, SubSampler.cpp:334-347). On TPU the
+    v2 Mosaic path (ops/fused.py) runs by default."""
+    if _use_fused():
+        from supersampler_tpu.ops.fused import fused_batch
+
+        return fused_batch(packed, k, m, P_rec, sel_cap, False,
+                           lengths, thr_hi, thr_lo)
+    return _scan_resolve_batch_v1(packed, k, m, P_rec, sel_cap,
+                                  lengths, thr_hi, thr_lo)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _scan_resolve_single_v1(slab, k: int, m: int, P: int,
+                            sel_cap: int, length, thr_hi, thr_lo):
+    t = scan_field_2d_packed(slab[32:], k, m, P, length, True)
+    entry = field_entry_init(t, thr_hi, thr_lo)
+    return resolve_field(t, k, m, sel_cap, entry, thr_hi, thr_lo)
+
+
 def scan_resolve_single(slab, k: int, m: int, P: int, sel_cap: int,
                         length, thr_hi, thr_lo):
     """Fused single-tile dispatch: unpack + field scan + entry + full
@@ -1127,10 +1212,15 @@ def scan_resolve_single(slab, k: int, m: int, P: int, sel_cap: int,
     slab: the 128-position-halo'd packed byte array of a single-tile
     record ((128 + P) / 4 bytes); the halo is sliced off on device
     (XLA fuses the slice into the unpack). Returns resolve_field's
-    fetch array."""
-    t = scan_field_2d_packed(slab[32:], k, m, P, length, True)
-    entry = field_entry_init(t, thr_hi, thr_lo)
-    return resolve_field(t, k, m, sel_cap, entry, thr_hi, thr_lo)
+    fetch array. On TPU the v2 Mosaic path (ops/fused.py) runs by
+    default."""
+    if _use_fused():
+        from supersampler_tpu.ops.fused import fused_single
+
+        return fused_single(slab, k, m, P, sel_cap, False, length,
+                            thr_hi, thr_lo)
+    return _scan_resolve_single_v1(slab, k, m, P, sel_cap, length,
+                                   thr_hi, thr_lo)
 
 
 @jax.jit
